@@ -1,0 +1,60 @@
+package graft.agg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas.{GlobalPixel, UserPixel}
+
+/**
+ * Heatmap aggregation: per-user pixel accumulation and the global
+ * k-anonymity layer.
+ *
+ * Re-expresses the reference's per-pixel merge + global tile rebuild
+ * (`/root/reference/src/HeatMap.Tiles/Diffs/HeatMapExtensions.cs:49-131`,
+ * `Worker.cs:167-222`) as two hash aggregations:
+ *
+ *   user grain:   groupBy(user_id, gx, gy).sum(trips)          (A2/A3)
+ *   global grain: groupBy(gx, gy).agg(count(*), sum(trips))
+ *                 .where(users >= k)                           (A4/A5/F7)
+ *
+ * The count-distinct is EXACT (the reference enumerates real user sets, no
+ * sketches) but costs no distinct-aggregation: after the user-grain
+ * pre-aggregate each (pixel, user) appears exactly once, so a plain
+ * count(*) per pixel IS the distinct user count. That turns the classic
+ * hot-cell count-distinct skew problem into two well-partitioned partial
+ * aggregations — the scale-out answer to the north rule's "salting for hot
+ * urban cells": keys are pixel-grain (tile × 512²), so no single reducer
+ * key can concentrate an urban core; Spark's partial aggregation performs
+ * the map-side combine, and AQE rebalances stragglers.
+ */
+object HeatmapAgg {
+  val KAnonymity = 3 // MIN_USERS — Worker.cs:204-216, Program.cs:34
+
+  /** A2/A3: accumulate each user's pixels (saturating at u32 max as the
+    * reference does on merge — Diffs/HeatMapExtensions.cs:113-117). */
+  def userGrain(pixels: Dataset[UserPixel])(implicit spark: SparkSession): Dataset[UserPixel] = {
+    import spark.implicits._
+    pixels
+      .groupBy($"user_id", $"gx", $"gy")
+      .agg(least(sum($"trips"), lit(graft.core.Codec.U32Max)).as("trips"))
+      .as[UserPixel]
+  }
+
+  /** A4/F7: exact distinct users + trip sum per pixel, k-anonymity HAVING. */
+  def globalGrain(userPixels: Dataset[UserPixel], k: Int = KAnonymity)(
+      implicit spark: SparkSession): Dataset[GlobalPixel] = {
+    import spark.implicits._
+    userPixels
+      .groupBy($"gx", $"gy")
+      .agg(count(lit(1)).as("users"), sum($"trips").as("trips"))
+      .where($"users" >= k)
+      .select(lit(graft.raster.Rasterize.Zoom).as("z"), $"gx", $"gy", $"users", $"trips")
+      .as[GlobalPixel]
+  }
+
+  /** Packed export form: u64 = users << 32 | trips (Encoder.cs:10-13) —
+    * applied only at the boundary to avoid the carry hazard of packed sums. */
+  def packed(global: DataFrame): DataFrame =
+    global.withColumn("packed",
+      shiftleft(col("users"), 32).bitwiseOR(col("trips").bitwiseAND(lit(graft.core.Codec.U32Max))))
+}

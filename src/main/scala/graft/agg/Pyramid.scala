@@ -1,0 +1,55 @@
+package graft.agg
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas.GlobalPixel
+
+/**
+ * Zoom-pyramid rollup: z → z-1 by 2×2 → 1 pixel downsampling sums.
+ *
+ * Re-expresses the reference's parent-tile rebuild
+ * (`/root/reference/src/HeatMap.Tiles/HeatMapExtensions.cs:148-214`): the
+ * parent pixel of global pixel (gx, gy) is exactly (gx >> 1, gy >> 1)
+ * (tile (x/2, y/2), local offset (res/2)·(x%2) + px/2 — the quadrant math
+ * collapses in global pixel coordinates), and parent values are plain sums
+ * of the thresholded child values. The reference adds the packed u64s
+ * directly — equivalent to summing `users`/`trips` independently while
+ * trips < 2^32 (documented carry hazard, HeatMapExtensions.cs:209); we sum
+ * the unpacked columns, which is the carry-safe form.
+ *
+ * 14 chained aggregations, each over only the pixels that survived the
+ * level below — cardinality shrinks ~4× per level, so the whole pyramid
+ * costs less than one extra z14 pass. Each groupBy shuffles on
+ * (gx>>1, gy>>1): pixel-grain keys, no hot single key, partial aggregation
+ * does the 4→1 combine map-side.
+ */
+object Pyramid {
+
+  /** One level: z → z-1. */
+  def rollupOne(level: Dataset[GlobalPixel])(implicit spark: SparkSession): Dataset[GlobalPixel] = {
+    import spark.implicits._
+    level
+      .groupBy(($"z" - 1).as("z"),
+        shiftright($"gx", 1).as("gx"), shiftright($"gy", 1).as("gy"))
+      .agg(sum($"users").as("users"), sum($"trips").as("trips"))
+      .select($"z".cast("int").as("z"), $"gx", $"gy", $"users", $"trips")
+      .as[GlobalPixel]
+  }
+
+  /** All levels z14 (input) down to minZoom, unioned. */
+  def allLevels(z14: Dataset[GlobalPixel], minZoom: Int = 0)(
+      implicit spark: SparkSession): Dataset[GlobalPixel] = {
+    var levels = List(z14)
+    var current = z14
+    var z = graft.raster.Rasterize.Zoom
+    while (z > minZoom) {
+      current = rollupOne(current)
+      // each level feeds the next — cache to avoid recomputing the chain
+      current.persist()
+      levels ::= current
+      z -= 1
+    }
+    levels.reverse.reduce(_ union _)
+  }
+}

@@ -1,0 +1,171 @@
+package graft.core
+
+import java.io.ByteArrayOutputStream
+
+/**
+ * Mapbox Vector Tile (MVT v2.1) encoder — pure Scala, written against the
+ * public MVT spec (github.com/mapbox/vector-tile-spec).
+ *
+ * Reproduces the export shape of the reference
+ * (`/root/reference/src/HeatMap.Tiles/IO/VectorTiles/HeatMapExtensions.cs:42-80`,
+ * `Worker.cs:257-279`): one layer named "heatmap" of Point features, one per
+ * non-zero pixel, with attributes {users, trips} (uint values); tiles with
+ * zero features are dropped (F6 lives upstream).
+ *
+ * Placement: the reference converts the pixel's top-left corner to lon/lat
+ * via the linear tile transform (TileGeometryTransform.cs:69-75) and hands
+ * that to the external Mapbox writer for quantization. Quantizing the same
+ * linear transform back to the extent grid lands on exactly
+ * (px * extent / resolution, py * extent / resolution), which is what we
+ * emit directly (documented divergence: the external writer re-projects the
+ * latitude through true Mercator, a sub-pixel offset at extent 4096).
+ */
+object MvtCodec {
+  final val Extent = 4096
+
+  // -- protobuf field writers ------------------------------------------------
+  private def tag(field: Int, wire: Int): Int = (field << 3) | wire
+
+  private def writeKeyVarInt(out: ByteArrayOutputStream, field: Int, v: Long): Unit = {
+    VarInt.writeVarUInt(out, tag(field, 0).toLong)
+    VarInt.writeVarUInt(out, v)
+  }
+
+  private def writeKeyBytes(out: ByteArrayOutputStream, field: Int, b: Array[Byte]): Unit = {
+    VarInt.writeVarUInt(out, tag(field, 2).toLong)
+    VarInt.writeVarUInt(out, b.length.toLong)
+    out.write(b, 0, b.length)
+  }
+
+  private def writeKeyString(out: ByteArrayOutputStream, field: Int, s: String): Unit =
+    writeKeyBytes(out, field, s.getBytes("UTF-8"))
+
+  // -- MVT structure ----------------------------------------------------------
+
+  /** One pixel feature: local pixel coords + the two counters. */
+  final case class PixelFeature(px: Int, py: Int, users: Long, trips: Long)
+
+  /** Encode one tile's features into an MVT blob (layer "heatmap"). */
+  def encodeTile(features: Iterable[PixelFeature], resolution: Int,
+                 layerName: String = "heatmap"): Array[Byte] = {
+    val scale = Extent / resolution // 8 for the service's 512-px tiles
+
+    // value table, deduped in first-seen order (uint values, MVT field 5)
+    val valueIndex = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+    def valueId(v: Long): Int = valueIndex.getOrElseUpdate(v, valueIndex.size)
+
+    val featBytes = new ByteArrayOutputStream()
+    features.foreach { f =>
+      val fb = new ByteArrayOutputStream()
+      // tags: [keyIdx(users)=0, valIdx, keyIdx(trips)=1, valIdx] packed (field 2)
+      val tagsB = new ByteArrayOutputStream()
+      VarInt.writeVarUInt(tagsB, 0L); VarInt.writeVarUInt(tagsB, valueId(f.users).toLong)
+      VarInt.writeVarUInt(tagsB, 1L); VarInt.writeVarUInt(tagsB, valueId(f.trips).toLong)
+      writeKeyBytes(fb, 2, tagsB.toByteArray)
+      writeKeyVarInt(fb, 3, 1L) // GeomType POINT
+      // geometry: MoveTo(1,count=1) + zigzag coords (field 4, packed)
+      val geomB = new ByteArrayOutputStream()
+      VarInt.writeVarUInt(geomB, ((1 << 3) | 1).toLong) // command id 1 (MoveTo), count 1
+      VarInt.writeVarUInt(geomB, VarInt.zigZag(f.px.toLong * scale))
+      VarInt.writeVarUInt(geomB, VarInt.zigZag(f.py.toLong * scale))
+      writeKeyBytes(fb, 4, geomB.toByteArray)
+      writeKeyBytes(featBytes, 2, fb.toByteArray) // Layer.features
+    }
+
+    val layer = new ByteArrayOutputStream()
+    writeKeyVarInt(layer, 15, 2L) // version
+    writeKeyString(layer, 1, layerName)
+    val fArr = featBytes.toByteArray
+    layer.write(fArr, 0, fArr.length)
+    writeKeyString(layer, 3, "users")
+    writeKeyString(layer, 3, "trips")
+    valueIndex.keysIterator.foreach { v =>
+      val vb = new ByteArrayOutputStream()
+      writeKeyVarInt(vb, 5, v) // uint_value
+      writeKeyBytes(layer, 4, vb.toByteArray)
+    }
+    writeKeyVarInt(layer, 5, Extent.toLong)
+
+    val tile = new ByteArrayOutputStream()
+    writeKeyBytes(tile, 3, layer.toByteArray) // Tile.layers
+    tile.toByteArray
+  }
+
+  // -- minimal decoder (tests only) -------------------------------------------
+
+  /** Decoded feature for round-trip tests: (x, y, users, trips) at extent grain. */
+  def decodeTile(bytes: Array[Byte]): Seq[(Long, Long, Long, Long)] = {
+    var pos = 0
+    def readVarUInt(b: Array[Byte]): Long = {
+      var shift = 0; var v = 0L
+      var more = true
+      while (more) {
+        val x = b(pos) & 0xFF; pos += 1
+        v |= (x & 0x7FL) << shift
+        shift += 7
+        more = (x & 0x80) != 0
+      }
+      v
+    }
+    val out = Seq.newBuilder[(Long, Long, Long, Long)]
+    // Tile → layer (field 3)
+    val layerEnd = {
+      val t = readVarUInt(bytes); require(t == ((3 << 3) | 2), s"unexpected tag $t")
+      val len = readVarUInt(bytes)
+      pos + len.toInt
+    }
+    var keys = Vector.empty[String]
+    var values = Vector.empty[Long]
+    var feats = Vector.empty[(Array[Long], Long, Long)] // tags, x, y
+    while (pos < layerEnd) {
+      val t = readVarUInt(bytes)
+      val field = (t >> 3).toInt; val wire = (t & 7).toInt
+      if (wire == 0) { readVarUInt(bytes); () }
+      else {
+        val len = readVarUInt(bytes).toInt
+        val end = pos + len
+        field match {
+          case 3 => keys :+= new String(bytes, pos, len, "UTF-8"); pos = end
+          case 4 =>
+            var v = 0L
+            while (pos < end) { val tt = readVarUInt(bytes); if ((tt >> 3) == 5) v = readVarUInt(bytes) else readVarUInt(bytes) }
+            values :+= v
+          case 2 =>
+            var tags = Array.empty[Long]; var gx = 0L; var gy = 0L
+            while (pos < end) {
+              val ft = readVarUInt(bytes)
+              val ff = (ft >> 3).toInt; val fw = (ft & 7).toInt
+              if (fw == 0) { readVarUInt(bytes); () }
+              else {
+                val flen = readVarUInt(bytes).toInt
+                val fend = pos + flen
+                ff match {
+                  case 2 =>
+                    val b = Array.newBuilder[Long]
+                    while (pos < fend) b += readVarUInt(bytes)
+                    tags = b.result()
+                  case 4 =>
+                    readVarUInt(bytes) // MoveTo cmd
+                    gx = VarInt.unZigZag(readVarUInt(bytes))
+                    gy = VarInt.unZigZag(readVarUInt(bytes))
+                  case _ => pos = fend
+                }
+              }
+            }
+            feats :+= ((tags, gx, gy))
+          case _ => pos = end
+        }
+      }
+    }
+    val userKey = keys.indexOf("users"); val tripKey = keys.indexOf("trips")
+    feats.foreach { case (tags, x, y) =>
+      var users = 0L; var trips = 0L
+      tags.grouped(2).foreach { p =>
+        if (p(0) == userKey) users = values(p(1).toInt)
+        if (p(0) == tripKey) trips = values(p(1).toInt)
+      }
+      out += ((x, y, users, trips))
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.agg.{HeatmapAgg, Pyramid}
+import graft.model.Schemas._
+import graft.mvt.MvtJobs
+import graft.raster.Rasterize
+import graft.synth.{ImageSynth, TraceSynth}
+
+/**
+ * The flagship end-to-end query (reference lifecycle §3.1-3.2 of SURVEY.md):
+ *
+ *   images (Iceberg-shaped input) → derived tracks → rasterize (narrow)
+ *   → user-grain pixel agg (shuffle 1) → global k-anon layer (shuffle 2)
+ *   → 14-level pyramid (14 shrinking shuffles) → MVT blobs (tile shuffle)
+ *
+ * Deterministic at any scale; parallelism-independent results.
+ */
+object HeatmapPipeline {
+  val DefaultUsers = 8 // synthetic user cardinality: ≥3 users overlap hot tiles
+
+  /** Synthesize the input table distributed over the cluster. */
+  def images(n: Long)(implicit spark: SparkSession): Dataset[ImageRow] = {
+    import spark.implicits._
+    spark.range(n).map(i => ImageSynth.row(i))
+  }
+
+  /** Image rows → derived GPS tracks (the graft: phash seeds the walk). */
+  def tracks(images: Dataset[ImageRow], users: Int = DefaultUsers)(
+      implicit spark: SparkSession): Dataset[Track] = {
+    import spark.implicits._
+    images.map { r =>
+      val id = r.image_id.stripPrefix("img").toLong
+      Track(id, TraceSynth.userOf(r.phash, users), TraceSynth.trace(r.phash))
+    }
+  }
+
+  /** Cheap track synthesis that skips image encode/decode (bench path —
+    * identical traces because both derive from phashOf(i)). */
+  def tracksDirect(n: Long, users: Int = DefaultUsers)(
+      implicit spark: SparkSession): Dataset[Track] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val ph = ImageSynth.phashOf(i)
+      Track(i, TraceSynth.userOf(ph, users), TraceSynth.trace(ph))
+    }
+  }
+
+  final case class HeatmapResult(
+      userPixels: Dataset[UserPixel],
+      z14: Dataset[GlobalPixel],
+      pyramid: Dataset[GlobalPixel])
+
+  def run(tracks: Dataset[Track], k: Int = HeatmapAgg.KAnonymity, minZoom: Int = 0)(
+      implicit spark: SparkSession): HeatmapResult = {
+    val up = HeatmapAgg.userGrain(Rasterize.userPixels(tracks))
+    val z14 = HeatmapAgg.globalGrain(up, k)
+    z14.persist()
+    val pyr = Pyramid.allLevels(z14, minZoom)
+    HeatmapResult(up, z14, pyr)
+  }
+
+  def mvt(pyramid: Dataset[GlobalPixel])(implicit spark: SparkSession): Dataset[MvtTile] =
+    MvtJobs.encodeTiles(pyramid)
+}

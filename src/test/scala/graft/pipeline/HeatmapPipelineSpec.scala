@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SpecOracle
+import graft.agg.HeatmapAgg
+import graft.core.MvtCodec
+import graft.model.Schemas._
+import graft.synth.{ImageSynth, TraceSynth}
+
+/**
+ * Golden e2e test (SURVEY.md §5.2): the distributed pipeline must equal the
+ * single-threaded executable-spec oracle on (a) pixel assignments,
+ * (b) trip counts, (c) distinct-user counts, (d) k-anonymity filtering,
+ * (e) all 15 zoom levels, (f) MVT feature payloads.
+ */
+class HeatmapPipelineSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = graft.spark.Sessions.local(4, "pipeline-spec")
+
+  private val N = 300
+  private lazy val testTracks: Seq[Track] = (0L until N).map { i =>
+    val ph = ImageSynth.phashOf(i)
+    Track(i, TraceSynth.userOf(ph, HeatmapPipeline.DefaultUsers), TraceSynth.trace(ph))
+  }
+
+  private lazy val oracleUsers = SpecOracle.userHeatmaps(testTracks, 14, 512)
+  private lazy val oracleZ14 = SpecOracle.globalZ14(oracleUsers, HeatmapAgg.KAnonymity)
+  private lazy val oraclePyr = SpecOracle.pyramid(oracleZ14)
+
+  private lazy val result: HeatmapPipeline.HeatmapResult = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    HeatmapPipeline.run(s.createDataset(testTracks))
+  }
+
+  test("user-grain pixels match the oracle exactly") {
+    val got = result.userPixels.collect()
+      .map(p => ((p.user_id, p.gx, p.gy), p.trips)).toMap
+    val want = oracleUsers.flatMap { case (u, m) =>
+      m.map { case ((gx, gy), t) => ((u, gx, gy), t) }
+    }
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+
+  test("z14 global layer matches: users, trips, k-anonymity") {
+    assert(oracleZ14.nonEmpty, "synthetic world must produce >=3-user pixels")
+    val got = result.z14.collect().map(p => ((p.gx, p.gy), (p.users, p.trips))).toMap
+    assert(got === oracleZ14)
+    assert(got.valuesIterator.forall(_._1 >= HeatmapAgg.KAnonymity))
+  }
+
+  test("all 15 pyramid levels match the oracle") {
+    val got = result.pyramid.collect()
+      .groupBy(_.z)
+      .view.mapValues(_.map(p => ((p.gx, p.gy), (p.users, p.trips))).toMap).toMap
+    assert(got.keySet === (0 to 14).toSet)
+    (0 to 14).foreach { z =>
+      assert(got(z) === oraclePyr(z), s"zoom $z mismatch")
+    }
+  }
+
+  test("tracksDirect equals the image-derived track path (graft consistency)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val direct = HeatmapPipeline.tracksDirect(20).collect().sortBy(_.contribution_id)
+    val viaImages = HeatmapPipeline.tracks(HeatmapPipeline.images(20)).collect().sortBy(_.contribution_id)
+    direct.zip(viaImages).foreach { case (a, b) =>
+      assert(a.user_id === b.user_id)
+      assert(a.coords.map(_.toSeq).toSeq === b.coords.map(_.toSeq).toSeq)
+    }
+  }
+
+  test("MVT blobs decode back to the oracle's pixel payloads") {
+    implicit val s: SparkSession = spark
+    val tiles = HeatmapPipeline.mvt(result.z14).collect()
+    assert(tiles.nonEmpty)
+    val res = 512
+    tiles.foreach { t =>
+      val feats = MvtCodec.decodeTile(t.mvt)
+      assert(feats.nonEmpty) // empty tiles must not be emitted (F6)
+      feats.foreach { case (ex, ey, users, trips) =>
+        assert(ex % 8 === 0 && ey % 8 === 0)
+        val gx = t.tx * res + ex / 8
+        val gy = t.ty * res + ey / 8
+        assert(oracleZ14.get((gx, gy)).contains((users, trips)),
+          s"tile (${t.tx},${t.ty}) pixel ($gx,$gy)")
+      }
+    }
+    // feature counts must cover every oracle pixel
+    val totalFeats = tiles.map(t => MvtCodec.decodeTile(t.mvt).size).sum
+    assert(totalFeats === oracleZ14.size)
+  }
+
+  test("k-anonymity: raising k strictly shrinks (or keeps) the surviving pixel set") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val up = result.userPixels
+    val k3 = HeatmapAgg.globalGrain(up, 3).count()
+    val k5 = HeatmapAgg.globalGrain(up, 5).count()
+    val k1 = HeatmapAgg.globalGrain(up, 1).count()
+    assert(k5 <= k3 && k3 <= k1)
+    assert(k1 === oracleUsers.values.flatMap(_.keys).toSet.size)
+  }
+}
