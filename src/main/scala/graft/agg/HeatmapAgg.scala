@@ -52,6 +52,29 @@ object HeatmapAgg {
       .as[GlobalPixel]
   }
 
+  /** Single-exchange z14 layer from raw raster output (user_id, pkey,
+    * trips): Catalyst plans the exact count-distinct as ONE hash exchange
+    * on pkey with a map-side partial keyed (pkey, user) — half the shuffle
+    * volume of the explicit user-grain → global-grain cascade, same exact
+    * result (proved equal in HeatmapPipelineSpec). The user-grain
+    * saturating clamp (A3) is not applicable on this path: single-batch
+    * trip counts cannot approach 2^32 (documented divergence of the fused
+    * form; the explicit cascade keeps the clamp). */
+  def globalGrainFused(rasterPixels: org.apache.spark.sql.Dataset[graft.model.Schemas.PixelVisit],
+                       k: Int = KAnonymity)(
+      implicit spark: SparkSession): Dataset[GlobalPixel] = {
+    import spark.implicits._
+    rasterPixels.toDF()
+      .groupBy($"pkey")
+      .agg(countDistinct($"user_id").as("users"), sum($"trips").as("trips"))
+      .where($"users" >= k)
+      .select(lit(graft.raster.Rasterize.Zoom).as("z"),
+        shiftrightunsigned($"pkey", 32).as("gx"),
+        $"pkey".bitwiseAND(lit(graft.core.Codec.U32Max)).as("gy"),
+        $"users", $"trips")
+      .as[GlobalPixel]
+  }
+
   /** Packed export form: u64 = users << 32 | trips (Encoder.cs:10-13) —
     * applied only at the boundary to avoid the carry hazard of packed sums. */
   def packed(global: DataFrame): DataFrame =

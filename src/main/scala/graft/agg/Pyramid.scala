@@ -37,19 +37,40 @@ object Pyramid {
       .as[GlobalPixel]
   }
 
-  /** All levels z14 (input) down to minZoom, unioned. */
-  def allLevels(z14: Dataset[GlobalPixel], minZoom: Int = 0)(
+  /** All levels z14 (input) down to minZoom, via iterative per-level
+    * rollup — the semantics-defining form (used as the oracle shape). */
+  def allLevelsIterative(z14: Dataset[GlobalPixel], minZoom: Int = 0)(
       implicit spark: SparkSession): Dataset[GlobalPixel] = {
     var levels = List(z14)
     var current = z14
     var z = graft.raster.Rasterize.Zoom
     while (z > minZoom) {
       current = rollupOne(current)
-      // each level feeds the next — cache to avoid recomputing the chain
       current.persist()
       levels ::= current
       z -= 1
     }
     levels.reverse.reduce(_ union _)
+  }
+
+  /** All levels z14 → minZoom in ONE shuffle: each z14 pixel explodes into
+    * its ancestor chain (z, gx >> (14-z), gy >> (14-z)) and a single
+    * groupBy sums per (z, gx, gy). Addition is associative, so this is
+    * exactly the iterative 2×2 rollup cascade (HeatMapExtensions.cs:148-214)
+    * — but instead of 14 sequential small jobs it is one well-partitioned
+    * aggregation with map-side partials: the form that survives a 1000×
+    * scale-up (proved equal to the iterative form in PyramidSpec). */
+  def allLevels(z14: Dataset[GlobalPixel], minZoom: Int = 0)(
+      implicit spark: SparkSession): Dataset[GlobalPixel] = {
+    import spark.implicits._
+    val maxZoom = graft.raster.Rasterize.Zoom
+    z14.flatMap { p =>
+      Iterator.range(minZoom, maxZoom + 1).map { z =>
+        GlobalPixel(z, p.gx >> (maxZoom - z), p.gy >> (maxZoom - z), p.users, p.trips)
+      }
+    }
+      .groupBy($"z", $"gx", $"gy")
+      .agg(sum($"users").as("users"), sum($"trips").as("trips"))
+      .as[GlobalPixel]
   }
 }

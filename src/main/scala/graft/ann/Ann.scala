@@ -1,0 +1,97 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.synth.TraceSynth.mix64
+
+/**
+ * Similarity search over an embedding column (Array[Float]).
+ *
+ * Baseline: brute-force cosine top-k — a narrow map over a broadcast query
+ * vector, codegen'd via `aggregate`/`zip_with` (no UDF). Scale path:
+ * random-hyperplane LSH bucketing (sign-bit SimHash of the embedding)
+ * turning candidate generation into an equi-join on bucket prefixes.
+ */
+object Ann {
+
+  /** Cosine similarity of an array<double> column vs a second one. */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** All cosine similarities vs one stored query vector (exact, oracle-able). */
+  def cosineToVec(emb: DataFrame, queryVecId: Long)(implicit spark: SparkSession): DataFrame = {
+    val q = emb.where(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding")).as("q_emb"))
+    emb.where(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosineCol(asDouble(col("embedding")), col("q_emb")).as("sim"))
+  }
+
+  /** Brute-force top-k by cosine (deterministic order: sim desc, vec_id). */
+  def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int)(
+      implicit spark: SparkSession): DataFrame =
+    cosineToVec(emb, queryVecId)
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i). */
+  def planeComponent(p: Int, i: Int): Double = {
+    // uniform in [-1, 1) from a seeded hash — no RNG state, executor-safe
+    val h = mix64(p.toLong * 1315423911L ^ i.toLong)
+    (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** Sign-bit LSH bucket of an embedding under `nPlanes` hyperplanes. */
+  def lshBucket(v: Array[Float], nPlanes: Int = 16): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * planeComponent(p, i); i += 1 }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Embedding relation + LSH bucket column (the scale-path index). */
+  def withLshBuckets(emb: DataFrame, nPlanes: Int = 16)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, v) => (id, lshBucket(v, nPlanes)) }
+      .toDF("vec_id", "bucket")
+  }
+
+  /** LSH-bucketed ANN: candidates share a bucket; exact cosine refine.
+    * Returns (a, b, sim) candidate near-dup pairs with sim >= threshold. */
+  def lshNearDupPairs(emb: DataFrame, threshold: Double = 0.95, nPlanes: Int = 12)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val b = withLshBuckets(emb, nPlanes)
+    val withVec = b.join(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")), "vec_id")
+    withVec.as("l").join(withVec.as("r"),
+        $"l.bucket" === $"r.bucket" && $"l.vec_id" < $"r.vec_id")
+      .select($"l.vec_id".as("a"), $"r.vec_id".as("b"),
+        cosineCol($"l.v", $"r.v").as("sim"))
+      .where($"sim" >= threshold)
+  }
+
+  /** Exact brute-force near-dup pairs (oracle for the LSH recall tests). */
+  def exactNearDupPairs(emb: DataFrame, threshold: Double)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    v.as("l").join(v.as("r"), $"l.vec_id" < $"r.vec_id")
+      .select($"l.vec_id".as("a"), $"r.vec_id".as("b"), cosineCol($"l.v", $"r.v").as("sim"))
+      .where($"sim" >= threshold)
+  }
+}

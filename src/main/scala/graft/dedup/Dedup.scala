@@ -1,0 +1,140 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.synth.TraceSynth.mix64
+
+/**
+ * Near-duplicate detection primitives for the training-data pipeline:
+ * MinHash + banded LSH, SimHash, n-gram Jaccard. Pure kernels (testable
+ * without Spark) + DataFrame jobs.
+ *
+ * Scale shape: shingle → minhash is a narrow map; candidate generation is
+ * an equi-join on (band, bucket) — the only shuffle — and the exact-Jaccard
+ * refine runs only on bucket-colliding pairs. No pairwise O(n²) anywhere.
+ */
+object Dedup {
+
+  /** Character n-gram shingle set. */
+  def shingles(text: String, n: Int = 3): Set[String] =
+    if (text == null || text.length < n) Set.empty
+    else (0 to text.length - n).view.map(i => text.substring(i, i + n)).toSet
+
+  /** 64-bit hash of a shingle (FNV-1a folded through splitmix). */
+  def shingleHash(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** MinHash signature: min over shingles of mix64(hash ^ seed_k). */
+  def minhash(sh: Set[String], numHashes: Int = 64, seed: Long = 42L): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    sh.foreach { s =>
+      val h0 = shingleHash(s)
+      var k = 0
+      while (k < numHashes) {
+        val hk = mix64(h0 ^ mix64(seed + k))
+        if (hk < sig(k)) sig(k) = hk
+        k += 1
+      }
+    }
+    sig
+  }
+
+  /** Banded LSH bucket keys for a signature: one 64-bit key per band. */
+  def lshBands(sig: Array[Long], bands: Int = 16): Array[Long] = {
+    val rowsPerBand = sig.length / bands
+    Array.tabulate(bands) { b =>
+      var h = 0xCBF29CE484222325L ^ b
+      var r = 0
+      while (r < rowsPerBand) {
+        h = mix64(h ^ sig(b * rowsPerBand + r))
+        r += 1
+      }
+      h
+    }
+  }
+
+  /** Exact Jaccard similarity of two shingle sets. */
+  def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 1.0
+    else a.intersect(b).size.toDouble / a.union(b).size.toDouble
+
+  /** SimHash-64 over whitespace tokens (unit weights). */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    if (text != null) text.split(" ", -1).foreach { tok =>
+      if (tok.nonEmpty) {
+        val h = shingleHash(tok)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  @inline def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // -- Spark jobs --------------------------------------------------------------
+
+  /** MinHash-LSH near-dup candidate pairs with exact-Jaccard refine.
+    * docs(doc_id: Long, text: String) → (a, b, jaccard) with a < b. */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.7,
+                      numHashes: Int = 64, bands: Int = 16)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sigs: Dataset[(Long, Array[Long])] = docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => (id, minhash(shingles(text), numHashes)) }
+    val buckets = sigs.flatMap { case (id, sig) =>
+      lshBands(sig, bands).zipWithIndex.map { case (h, b) => (id, b, h) }
+    }.toDF("doc_id", "band", "bucket")
+    val cand = buckets.as("l").join(buckets.as("r"),
+        $"l.band" === $"r.band" && $"l.bucket" === $"r.bucket" && $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("a"), $"r.doc_id".as("b")).distinct()
+    // refine: exact jaccard on the colliding pairs only
+    val texts = docs.select($"doc_id", $"text")
+    cand
+      .join(texts.withColumnRenamed("doc_id", "a").withColumnRenamed("text", "ta"), "a")
+      .join(texts.withColumnRenamed("doc_id", "b").withColumnRenamed("text", "tb"), "b")
+      .as[(Long, Long, String, String)]
+      .map { case (b, a, ta, tb) => (a, b, jaccard(shingles(ta), shingles(tb))) }
+      .toDF("a", "b", "jaccard")
+      .where($"jaccard" >= threshold)
+      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"), $"jaccard")
+  }
+
+  /** SimHash relation: doc_id → 64-bit fingerprint + its 4 16-bit blocks
+    * (block-equality is the standard hamming≤3 candidate filter). */
+  def simhashes(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val h = simhash64(text)
+        (id, h, (h & 0xFFFFL), ((h >>> 16) & 0xFFFFL), ((h >>> 32) & 0xFFFFL), ((h >>> 48) & 0xFFFFL))
+      }
+      .toDF("doc_id", "simhash", "b0", "b1", "b2", "b3")
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-style min sample of
+    * window hashes) — the "document fingerprinting" op. */
+  def fingerprint(text: String, window: Int = 8): Long = {
+    val sh = shingles(text, window)
+    if (sh.isEmpty) 0L else sh.iterator.map(shingleHash).min
+  }
+}

@@ -1,0 +1,107 @@
+package graft.geo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Slippy
+
+/**
+ * Spatial joins over the tile-cell index (north rule: H3/S2-style cell
+ * encoding, point-in-polygon, kNN, raster↔vector overlay).
+ *
+ * The cell system IS the reference's own quadtree: cellId =
+ * ToLocalId(WorldToTile(lon, lat, z), z) (`TileStatic.cs:145-168`) — the
+ * same role S2/H3 play, with the same math the tiling pipeline uses, so
+ * index and data never disagree.
+ *
+ * Scale shape: the polygon side is covered with z-cells once (tiny,
+ * broadcast); the point side gets a cell column (narrow map); the join is
+ * an equi-join on cell with an exact geometric refine predicate — no
+ * theta-join, no cross product, pruned to the cover.
+ */
+object SpatialJoins {
+  val CellZoom = 14
+
+  final case class Region(region_id: Long, left: Double, bottom: Double, right: Double, top: Double)
+
+  /** Cell cover of an axis-aligned region (the reference's tile polygons,
+    * TileStatic.cs:235-268, are exactly these rectangles). */
+  def coverCells(r: Region, zoom: Int = CellZoom): Seq[(Long, Long)] =
+    Slippy.tilesFor(r.left, r.top, r.right, r.bottom, zoom)
+      .map { case (tx, ty) => (r.region_id, Slippy.toLocalId(tx, ty, zoom)) }
+      .toSeq
+
+  /** Points must carry (lon, lat); returns the input + cell column. */
+  def withCell(points: DataFrame, zoom: Int = CellZoom)(implicit spark: SparkSession): DataFrame = {
+    val cellUdf = udf((lon: Double, lat: Double) => Slippy.worldTileLocalId(lon, lat, zoom))
+    points.withColumn("cell", cellUdf(col("lon"), col("lat")))
+  }
+
+  /** Point-in-polygon join: cell-cover equi-join + exact refine.
+    * Output: one row per (point, containing region). */
+  def pointInRegion(points: DataFrame, regions: Seq[Region], zoom: Int = CellZoom)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cover = regions.flatMap(r => coverCells(r, zoom).map { case (id, c) => (id, c) })
+      .toDF("region_id", "cell")
+    val regionDf = regions.toDF()
+    withCell(points, zoom)
+      .join(broadcast(cover), "cell")                       // index join: prunes to cover
+      .join(broadcast(regionDf), "region_id")               // fetch exact bounds
+      .where(col("lon") >= col("left") && col("lon") <= col("right") &&
+        col("lat") >= col("bottom") && col("lat") <= col("top")) // exact refine
+      .drop("left", "bottom", "right", "top")
+  }
+
+  /** kNN: for each query point, the k nearest data points by squared
+    * euclidean degree distance. Brute-force window baseline (exact); the
+    * cell-ring candidate variant must reproduce exactly this output. */
+  def knnBruteForce(points: DataFrame, queries: Seq[(Long, Double, Double)], k: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.toDF("qid", "qlon", "qlat")
+    val dist2 = (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
+      (col("lat") - col("qlat")) * (col("lat") - col("qlat"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist2"), col("pid"))
+    points.crossJoin(broadcast(q))
+      .withColumn("dist2", dist2)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("pid"))
+  }
+
+  /** kNN scale path: restrict candidates to cells within `ring` tiles of the
+    * query's cell before the window — exact as long as the ring radius
+    * covers the true k-th neighbor (caller grows ring until counts reach k). */
+  def knnCellRing(points: DataFrame, queries: Seq[(Long, Double, Double)], k: Int,
+                  ring: Int = 2, zoom: Int = CellZoom)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val candCells = queries.flatMap { case (qid, qlon, qlat) =>
+      val (cx, cy) = Slippy.worldToTile(qlon, qlat, zoom)
+      for {
+        dx <- -ring to ring
+        dy <- -ring to ring
+        x = cx + dx if x >= 0
+        y = cy + dy if y >= 0
+      } yield (qid, qlon, qlat, Slippy.toLocalId(x, y, zoom))
+    }.toDF("qid", "qlon", "qlat", "cell")
+    val dist2 = (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
+      (col("lat") - col("qlat")) * (col("lat") - col("qlat"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist2"), col("pid"))
+    withCell(points, zoom)
+      .join(broadcast(candCells), "cell")
+      .withColumn("dist2", dist2)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("pid"))
+  }
+
+  /** Raster↔vector overlay: heatmap pixels ⋈ rasterized geometry pixels on
+    * the global pixel key — a plain equi-join once both sides are pixel
+    * relations. */
+  def rasterVectorOverlay(heatPixels: DataFrame, tracePixels: DataFrame): DataFrame =
+    heatPixels.join(tracePixels, Seq("gx", "gy"), "inner")
+}

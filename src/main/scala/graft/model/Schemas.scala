@@ -30,6 +30,10 @@ object Schemas {
   /** Per-user accumulated pixel at one zoom (global pixel coords). */
   final case class UserPixel(user_id: Long, gx: Long, gy: Long, trips: Long)
 
+  /** Raw rasterizer emission: pkey = gx << 32 | gy. Primitive fields —
+    * no per-row boxing in the hot flatMap. */
+  final case class PixelVisit(user_id: Long, pkey: Long, trips: Long)
+
   /** Global heatmap pixel at one zoom (post count-distinct / rollup). */
   final case class GlobalPixel(z: Int, gx: Long, gy: Long, users: Long, trips: Long)
 

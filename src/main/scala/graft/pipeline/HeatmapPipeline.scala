@@ -54,10 +54,18 @@ object HeatmapPipeline {
 
   def run(tracks: Dataset[Track], k: Int = HeatmapAgg.KAnonymity, minZoom: Int = 0)(
       implicit spark: SparkSession): HeatmapResult = {
-    val up = HeatmapAgg.userGrain(Rasterize.userPixels(tracks))
-    val z14 = HeatmapAgg.globalGrain(up, k)
+    // the rasterize flatMap is the CPU-dominant narrow stage: spread it over
+    // every core even when the source is a single parquet split
+    val par = spark.sparkContext.defaultParallelism * 2
+    val spread =
+      if (tracks.rdd.getNumPartitions < par) tracks.repartition(par) else tracks
+    // fused single-exchange z14 (exact count-distinct via map-side partials)
+    val z14 = HeatmapAgg.globalGrainFused(Rasterize.pixelKeys(spread), k)
     z14.persist()
     val pyr = Pyramid.allLevels(z14, minZoom)
+    // user-grain relation exposed for callers that need it (A3 surface);
+    // plan-only until acted on
+    val up = HeatmapAgg.userGrain(Rasterize.userPixels(spread))
     HeatmapResult(up, z14, pyr)
   }
 

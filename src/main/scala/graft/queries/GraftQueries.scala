@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.geo.SpatialJoins
+import graft.geo.SpatialJoins.Region
+import graft.model.Schemas.Track
+import graft.pipeline.HeatmapPipeline
+import graft.synth.{ImageSynth, TraceSynth}
+import Tables._
+
+/**
+ * Graft-native queries: the heatmap pipeline over driver data, spatial
+ * joins (point-in-polygon / kNN / raster↔vector), similarity search, hash
+ * dedup, and the image-payload plumbing. Oracle-matched where DuckDB can
+ * express the identical computation; the rest are rows-only here and
+ * exactness-tested against in-repo oracles in ScalaTest.
+ */
+object GraftQueries {
+
+  /** events rows → deterministic tracks (event_id seeds the lattice walk,
+    * the real user_id drives k-anonymity). */
+  def eventTracks(s: SparkSession, d: String) = {
+    import s.implicits._
+    // repartition the (id, user) pairs BEFORE the trace walk: the synthesis
+    // + rasterization are the CPU-bound narrow stages and the parquet source
+    // is a single split at these scales
+    events(s, d).select("event_id", "user_id").as[(Long, Long)]
+      .repartition(s.sparkContext.defaultParallelism * 2)
+      .map { case (id, uid) => Track(id, uid, TraceSynth.trace(TraceSynth.mix64(id))) }
+  }
+
+  /** events rows → synthetic points in [3,5)×[50,51.5) (pure arithmetic,
+    * reproducible in the oracle SQL). */
+  def eventPoints(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id").as("pid"),
+      (lit(3.0) + (col("event_id") % 2000).cast("double") / 1000.0).as("lon"),
+      (lit(50.0) + (col("event_id") * 3 % 1500).cast("double") / 1000.0).as("lat"))
+
+  val TestRegions: Seq[Region] = Seq(
+    Region(1, 3.2, 50.2, 3.8, 50.8),
+    Region(2, 4.0, 50.5, 4.6, 51.1),
+    Region(3, 3.5, 50.9, 4.9, 51.4),
+    Region(4, 4.5, 50.1, 4.9, 50.45))
+
+  val KnnQueries: Seq[(Long, Double, Double)] = Seq(
+    (1L, 3.5, 50.5), (2L, 4.2, 51.0), (3L, 4.8, 50.2), (4L, 3.1, 51.4))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- spatial joins (oracle-matched) ----
+    "q_geo_pip_join" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      SpatialJoins.pointInRegion(eventPoints(s, d), TestRegions)
+        .groupBy(col("region_id")).agg(count(lit(1)).as("n"))
+    }),
+
+    "q_geo_knn" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      SpatialJoins.knnBruteForce(eventPoints(s, d), KnnQueries, 5)
+    }),
+
+    // ---- similarity search (oracle-matched) ----
+    "q_ann_cosine_all" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Ann.cosineToVec(embeddings(s, d), 0L)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    }),
+
+    "q_ann_topk" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Ann.cosineToVec(embeddings(s, d), 0L)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // ---- heatmap pipeline over driver data (rows-only; ScalaTest holds the oracle) ----
+    "q_hm_z14_layer" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      HeatmapPipeline.run(eventTracks(s, d), minZoom = 14).z14.toDF()
+    }),
+
+    "q_hm_pyramid_stats" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      HeatmapPipeline.run(eventTracks(s, d)).pyramid.toDF()
+        .groupBy(col("z"))
+        .agg(count(lit(1)).as("pixels"), sum(col("users")).as("users"), sum(col("trips")).as("trips"))
+    }),
+
+    "q_hm_mvt_tiles" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val r = HeatmapPipeline.run(eventTracks(s, d))
+      HeatmapPipeline.mvt(r.pyramid).toDF()
+        .select(col("z"), col("tx"), col("ty"), length(col("mvt")).as("mvt_bytes"))
+    }),
+
+    "q_geo_overlay" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val heat = HeatmapPipeline.run(eventTracks(s, d), minZoom = 14).z14.toDF()
+      // vector side: region-boundary cells as pixel rows at z14 grain
+      val regionPixels = TestRegions
+        .flatMap(r => SpatialJoins.coverCells(r).map { case (id, cell) =>
+          val (tx, ty) = graft.core.Slippy.toTile(SpatialJoins.CellZoom, cell)
+          (id, tx, ty)
+        }).toDF("region_id", "tx", "ty")
+      heat.withColumn("tx", (col("gx") / 512).cast("long"))
+        .withColumn("ty", (col("gy") / 512).cast("long"))
+        .join(regionPixels, Seq("tx", "ty"))
+        .groupBy(col("region_id"))
+        .agg(count(lit(1)).as("pixels"), sum(col("trips")).as("trips"))
+    }),
+
+    // ---- hash dedup (rows-only; kernels exactness-tested in ScalaTest) ----
+    "q_d3_minhash_pairs" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Dedup.minhashNearDups(documents(s, d), threshold = 0.8, bands = 8)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    "q_d4_simhash" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Dedup.simhashes(documents(s, d))
+    }),
+
+    "q_d5_fingerprints" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      documents(s, d).select("doc_id", "text").as[(Long, String)]
+        .map { case (id, t) => (id, Dedup.fingerprint(t)) }
+        .toDF("doc_id", "fingerprint")
+    }),
+
+    "q_ann_lsh_neardups" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Ann.lshNearDupPairs(embeddings(s, d), threshold = 0.2, nPlanes = 8)
+        .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+    }),
+
+    // ---- image payload plumbing (rows-only; PSNR/caption gates in ScalaTest) ----
+    "q_img_meta" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val n = events(s, d).count() / 10 max 100
+      HeatmapPipeline.images(n)
+        .map { r =>
+          val img = ImageSynth.decode(r.bytes)
+          val p = ImageSynth.psnr(img, r.phash, r.w, r.h)
+          (r.fmt, r.bytes.length.toLong, if (p >= 40.0) 1L else 0L,
+            if (r.caption == ImageSynth.captionOf(r.image_id.stripPrefix("img").toLong)) 1L else 0L)
+        }
+        .toDF("fmt", "nbytes", "psnr_ok", "caption_ok")
+        .groupBy(col("fmt"))
+        .agg(count(lit(1)).as("n"), sum(col("nbytes")).as("total_bytes"),
+          sum(col("psnr_ok")).as("psnr_ok"), sum(col("caption_ok")).as("caption_ok"))
+    }),
+
+    "q_img_features" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val n = events(s, d).count() / 10 max 100
+      // batched decode + quadrant-mean feature extraction (the multimodal
+      // feature-extract plumbing; per-partition batching like mapInPandas)
+      HeatmapPipeline.images(n).mapPartitions { rows =>
+        rows.map { r =>
+          val img = ImageSynth.decode(r.bytes)
+          def quadMean(x0: Int, y0: Int, x1: Int, y1: Int): Double = {
+            var sum = 0L; var cnt = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                cnt += 3; x += 1
+              }
+              y += 1
+            }
+            if (cnt == 0) 0.0 else sum.toDouble / cnt
+          }
+          (r.image_id, quadMean(0, 0, r.w / 2, r.h / 2), quadMean(r.w / 2, 0, r.w, r.h / 2),
+            quadMean(0, r.h / 2, r.w / 2, r.h), quadMean(r.w / 2, r.h / 2, r.w, r.h))
+        }
+      }.toDF("image_id", "f00", "f01", "f10", "f11")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_geo_pip_join" ->
+      """WITH pts AS (SELECT event_id AS pid,
+                             3.0 + CAST(event_id % 2000 AS DOUBLE)/1000.0 AS lon,
+                             50.0 + CAST(event_id*3 % 1500 AS DOUBLE)/1000.0 AS lat FROM events),
+              regions(region_id, lft, bottom, rght, top) AS (VALUES
+                (1, 3.2, 50.2, 3.8, 50.8), (2, 4.0, 50.5, 4.6, 51.1),
+                (3, 3.5, 50.9, 4.9, 51.4), (4, 4.5, 50.1, 4.9, 50.45))
+         SELECT CAST(region_id AS BIGINT) AS region_id, count(*) AS n
+         FROM pts JOIN regions ON lon >= lft AND lon <= rght AND lat >= bottom AND lat <= top
+         GROUP BY 1""",
+    "q_geo_knn" ->
+      """WITH pts AS (SELECT event_id AS pid,
+                             3.0 + CAST(event_id % 2000 AS DOUBLE)/1000.0 AS lon,
+                             50.0 + CAST(event_id*3 % 1500 AS DOUBLE)/1000.0 AS lat FROM events),
+              qs(qid, qlon, qlat) AS (VALUES (1, 3.5, 50.5), (2, 4.2, 51.0),
+                                             (3, 4.8, 50.2), (4, 3.1, 51.4))
+         SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS INTEGER) AS rn, pid FROM (
+           SELECT qid, pid, row_number() OVER (PARTITION BY qid
+                    ORDER BY (lon-qlon)*(lon-qlon) + (lat-qlat)*(lat-qlat), pid) AS rn
+           FROM pts CROSS JOIN qs) WHERE rn <= 5""",
+    "q_ann_cosine_all" ->
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+         FROM embeddings WHERE vec_id <> 0""",
+    "q_ann_topk" ->
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+         FROM embeddings WHERE vec_id <> 0
+         ORDER BY sim DESC, vec_id LIMIT 10"""
+  )
+}

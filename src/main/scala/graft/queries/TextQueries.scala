@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/**
+ * Text-analysis + dedup operators over the `documents` table — the
+ * training-data-pipeline surface (language id, quality scoring, token
+ * counting, fingerprinting, exact + n-gram dedup). Oracle-matched where the
+ * logic is expressible identically in DuckDB; hash-family ops (MinHash,
+ * SimHash) are rows-only here and exactness-tested in ScalaTest.
+ */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting (whitespace tokens)
+    "q_t1_token_count" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ", -1))).cast("long").as("total_tokens"),
+          count(lit(1)).as("docs"))),
+
+    // quality tiers from length stats
+    "q_t2_quality_tiers" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"),
+          when(col("n_chars") < 200, "short")
+            .when(col("n_chars") < 400, "mid")
+            .otherwise("long").as("tier"))
+        .groupBy(col("lang"), col("tier")).agg(count(lit(1)).as("n"))),
+
+    // language-id n-gram/stopword heuristic vs the labeled lang column
+    "q_t3_langid" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"),
+          when(instr(concat(lit(" "), col("text"), lit(" ")), " the ") > 0, "en")
+            .when(instr(concat(lit(" "), col("text"), lit(" ")), " le ") > 0, "fr")
+            .when(instr(concat(lit(" "), col("text"), lit(" ")), " der ") > 0, "de")
+            .otherwise("other").as("pred"))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))),
+
+    // exact dedup by content hash (hash-groupBy; keeper = min id)
+    "q_d1_dedup_exact" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dupes"))),
+
+    // character 3-gram shingle cardinality per doc (n-gram dedup primitive)
+    "q_d2_shingles" -> ((s, d) =>
+      documents(s, d)
+        .where(length(col("text")) >= 3)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+        .select(col("doc_id"), expr("substring(text, i, 3)").as("sh"))
+        .groupBy(col("doc_id")).agg(countDistinct(col("sh")).as("n_shingles"))),
+
+    // quality score: avg chars per whitespace token (deterministic double)
+    "q_t2b_chars_per_token" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          (col("n_chars").cast("double") / size(split(col("text"), " ", -1)).cast("double"))
+            .as("chars_per_token")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_t1_token_count" ->
+      """SELECT source, CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                count(*) AS docs FROM documents GROUP BY source""",
+    "q_t2_quality_tiers" ->
+      """SELECT lang, CASE WHEN n_chars < 200 THEN 'short' WHEN n_chars < 400 THEN 'mid'
+                           ELSE 'long' END AS tier, count(*) AS n
+         FROM documents GROUP BY 1, 2""",
+    "q_t3_langid" ->
+      """SELECT lang, CASE WHEN strpos(' ' || text || ' ', ' the ') > 0 THEN 'en'
+                           WHEN strpos(' ' || text || ' ', ' le ') > 0 THEN 'fr'
+                           WHEN strpos(' ' || text || ' ', ' der ') > 0 THEN 'de'
+                           ELSE 'other' END AS pred, count(*) AS n
+         FROM documents GROUP BY 1, 2""",
+    "q_d1_dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dupes FROM documents GROUP BY 1",
+    "q_d2_shingles" ->
+      """SELECT doc_id, count(DISTINCT substring(text, g, 3)) AS n_shingles
+         FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS g
+               FROM documents WHERE length(text) >= 3)
+         GROUP BY doc_id""",
+    "q_t2b_chars_per_token" ->
+      """SELECT doc_id, CAST(n_chars AS DOUBLE) / CAST(length(string_split(text, ' ')) AS DOUBLE)
+                AS chars_per_token FROM documents"""
+  )
+}

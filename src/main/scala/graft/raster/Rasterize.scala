@@ -3,7 +3,7 @@ package graft.raster
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.core.RasterKernel
-import graft.model.Schemas.{Track, UserPixel}
+import graft.model.Schemas.{PixelVisit, Track, UserPixel}
 
 /**
  * Distributed rasterization: `Dataset[Track]` → `Dataset[UserPixel]`.
@@ -30,6 +30,18 @@ object Rasterize {
       acc.iterator.map { case (key, trips) =>
         UserPixel(t.user_id, RasterKernel.keyGx(key), RasterKernel.keyGy(key), trips)
       }
+    }
+  }
+
+  /** Shuffle-lean form: (user_id, pkey = gx<<32|gy, trips) — 3 longs per
+    * row through the exchange instead of 4; the pixel key splits back into
+    * coordinates only after aggregation. */
+  def pixelKeys(tracks: Dataset[Track], zoom: Int = Zoom, resolution: Int = Resolution)(
+      implicit spark: SparkSession): Dataset[PixelVisit] = {
+    import spark.implicits._
+    tracks.flatMap { t =>
+      val acc = RasterKernel.rasterize(t.coords, zoom, resolution)
+      acc.iterator.map { case (key, trips) => PixelVisit(t.user_id, key, trips) }
     }
   }
 }

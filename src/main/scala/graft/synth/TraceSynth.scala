@@ -40,23 +40,46 @@ object TraceSynth {
     * HAVING (and hot-tile skew) live in the synthetic world. */
   final val Pitch = 4e-4
 
+  /** Hub grid: per city center, a HubGrid×HubGrid lattice of neighborhood
+    * hubs spaced HubSpacing apart (~half a z14 tile), so the synthetic
+    * world spans hundreds of z14 tiles. 20% of traces pin to hub 0 of
+    * center 0 (the hot urban core — exercises skew/salting); the rest
+    * scatter uniformly over all hubs. */
+  final val HubGrid = 16
+  final val HubSpacing = 0.01
+
+  /** (hubLon, hubLat) for a seed. */
+  def hubOf(seed: Long): (Double, Double) = {
+    val h = mix64(seed ^ 0x48B5A1E6L)
+    val hot = java.lang.Long.remainderUnsigned(h, 10L) < 2 // 20% hot core
+    if (hot) Centers(0)
+    else {
+      val centerIdx = clusterOf(seed)
+      val (clon, clat) = Centers(centerIdx)
+      val cellIdx = java.lang.Long.remainderUnsigned(h >>> 8, (HubGrid * HubGrid).toLong).toInt
+      val hx = cellIdx % HubGrid - HubGrid / 2
+      val hy = cellIdx / HubGrid - HubGrid / 2
+      (clon + hx * HubSpacing, clat + hy * HubSpacing)
+    }
+  }
+
   /**
    * Derive the trace for one row. `seed` is the row's phash.
    * Returns k ∈ [2,64] points as Array(lon, lat): a random walk on the
-   * road lattice, starting within ±12 cells of the cluster center.
+   * road lattice, starting within ±12 cells of the row's hub.
    */
   def trace(seed: Long): Array[Array[Double]] = {
     val rnd = new java.util.Random(mix64(seed))
     val k = 2 + rnd.nextInt(63) // [2, 64]
-    val (clon, clat) = Centers(clusterOf(seed))
-    // lattice-vertex start near the center (±12 cells ⇒ dense reuse of edges)
-    var ix = math.round(clon / Pitch) + (rnd.nextInt(25) - 12)
-    var iy = math.round(clat / Pitch) + (rnd.nextInt(25) - 12)
+    val (hlon, hlat) = hubOf(seed)
+    // lattice-vertex start near the hub (±12 cells ⇒ dense reuse of edges)
+    var ix = math.round(hlon / Pitch) + (rnd.nextInt(25) - 12)
+    var iy = math.round(hlat / Pitch) + (rnd.nextInt(25) - 12)
     val pts = new Array[Array[Double]](k)
     var i = 0
     while (i < k) {
       pts(i) = Array(ix * Pitch, iy * Pitch)
-      // one cardinal lattice step, biased to keep moving forward
+      // one cardinal lattice step
       rnd.nextInt(4) match {
         case 0 => ix += 1
         case 1 => ix -= 1

@@ -63,9 +63,9 @@ class ImageSynthSpec extends AnyFunSuite {
       val t1 = TraceSynth.trace(ph); val t2 = TraceSynth.trace(ph)
       assert(t1.length >= 2 && t1.length <= 64)
       assert(t1.map(_.toSeq).toSeq === t2.map(_.toSeq).toSeq)
-      val (clon, clat) = TraceSynth.Centers(TraceSynth.clusterOf(ph))
-      assert(math.abs(t1(0)(0) - clon) < 0.05)
-      assert(math.abs(t1(0)(1) - clat) < 0.05)
+      val (hlon, hlat) = TraceSynth.hubOf(ph)
+      assert(math.abs(t1(0)(0) - hlon) < 0.01)
+      assert(math.abs(t1(0)(1) - hlat) < 0.01)
     }
   }
 
@@ -79,7 +79,8 @@ class ImageSynthSpec extends AnyFunSuite {
     val tileCounts = tracks.groupBy { case (_, t) =>
       Slippy.worldToTile(t(0)(0), t(0)(1), 14)
     }.view.mapValues(_.size).toMap
-    assert(tileCounts.values.max >= n / 10, "expected a hot tile")
+    assert(tileCounts.values.max >= n / 20, "expected a hot tile (the 20% core)")
+    assert(tileCounts.size >= 20, "expected traces spread over many z14 tiles")
     // at least one pixel with >=3 distinct users
     val byPixel = scala.collection.mutable.Map.empty[(Long, Long), Set[Long]]
     tracks.foreach { case (u, t) =>
