@@ -31,11 +31,11 @@ object SpatialJoins {
       .map { case (tx, ty) => (r.region_id, Slippy.toLocalId(tx, ty, zoom)) }
       .toSeq
 
-  /** Points must carry (lon, lat); returns the input + cell column. */
-  def withCell(points: DataFrame, zoom: Int = CellZoom)(implicit spark: SparkSession): DataFrame = {
-    val cellUdf = udf((lon: Double, lat: Double) => Slippy.worldTileLocalId(lon, lat, zoom))
-    points.withColumn("cell", cellUdf(col("lon"), col("lat")))
-  }
+  /** Points must carry (lon, lat); returns the input + cell column —
+    * computed by the codegen'd native expression (no UDF SerDe boundary). */
+  def withCell(points: DataFrame, zoom: Int = CellZoom)(implicit spark: SparkSession): DataFrame =
+    points.withColumn("cell",
+      graft.functions.SlippyFunctions.slippyCell(spark, col("lon"), col("lat"), zoom))
 
   /** Point-in-polygon join: cell-cover equi-join + exact refine.
     * Output: one row per (point, containing region). */

@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.HeatmapAgg
+import graft.io.TileStore
+import graft.model.Schemas.Track
+import graft.raster.Rasterize
+
+/**
+ * Incrementally-maintained heatmap (the reference's service loop, SURVEY.md
+ * §3.1, recast as dirty-tile MERGE maintenance):
+ *
+ * per id-window batch (Worker.cs:139-165):
+ *   1. skip if the window is already committed (idempotent resume — fixes
+ *      the reference's at-least-once double-apply, Worker.cs:122-129)
+ *   2. rasterize the batch → delta user-pixels
+ *   3. MERGE delta into the persistent user_pixels relation
+ *      (full-outer + saturating add = Diffs/HeatMapExtensions.cs:49-131)
+ *   4. recompute the global z14 layer ONLY for dirty tiles
+ *      (Worker.cs:167-222), splice into the snapshot
+ *   5. roll the dirty ancestor chain up the pyramid from the spliced
+ *      child level (HeatMapExtensions.cs:148-214), splice each level
+ *   6. commit all relations + cursor atomically with lineage metrics
+ *
+ * Every step is keyed/partitioned — dirty-tile sets are Datasets, never
+ * collected; at 10^12-row scale the per-batch cost is bounded by the
+ * touched-tile subtree, not the world.
+ */
+object Incremental {
+  val Res = Rasterize.Resolution
+
+  final case class BatchResult(version: Long, skipped: Boolean)
+
+  private def tileOf(gxCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(gxCol / Res).cast("long")
+
+  /** Merge batch delta into persistent user pixels: full-outer sum with the
+    * reference's u32 saturation. */
+  def mergeUserPixels(existing: Option[DataFrame], delta: DataFrame): DataFrame = {
+    val d = delta.groupBy("user_id", "gx", "gy").agg(sum("trips").as("trips"))
+    existing match {
+      case None => d
+      case Some(e) =>
+        e.withColumnRenamed("trips", "trips_old")
+          .join(d.withColumnRenamed("trips", "trips_new"), Seq("user_id", "gx", "gy"), "full_outer")
+          .select(col("user_id"), col("gx"), col("gy"),
+            least(coalesce(col("trips_old"), lit(0L)) + coalesce(col("trips_new"), lit(0L)),
+              lit(graft.core.Codec.U32Max)).as("trips"))
+    }
+  }
+
+  /** Process one id-window batch of tracks. Returns the committed version
+    * (or skipped=true when the window was already committed). */
+  def processBatch(store: TileStore, tracks: Dataset[Track], fromId: Long, toId: Long,
+                   k: Int = HeatmapAgg.KAnonymity)(
+      implicit spark: SparkSession): BatchResult =
+    applyBatch(store, tracks.where(col("contribution_id") > fromId && col("contribution_id") <= toId),
+      fromId, toId, k)
+
+  /** Streaming entry: commit keyed by the micro-batch id (exactly-once on
+    * crash-replay — Structured Streaming re-delivers the same batchId with
+    * the same data). */
+  def processMicroBatch(store: TileStore, batch: Dataset[Track], batchId: Long,
+                        k: Int = HeatmapAgg.KAnonymity)(
+      implicit spark: SparkSession): BatchResult =
+    applyBatch(store, batch, batchId, batchId, k)
+
+  private def applyBatch(store: TileStore, batch: Dataset[Track], fromId: Long, toId: Long,
+                         k: Int)(implicit spark: SparkSession): BatchResult = {
+    if (store.committedBatches.contains((fromId, toId)))
+      return BatchResult(store.currentVersion, skipped = true)
+
+    val delta = HeatmapAgg.userGrain(Rasterize.userPixels(batch)).toDF()
+    delta.persist()
+
+    // 3. merge user pixels
+    // localCheckpoint truncates logical lineage: the per-level splice loop
+    // below would otherwise nest 15 plans deep and blow up plan
+    // stringification/AQE (observed OOM)
+    val merged = mergeUserPixels(store.read("user_pixels", Some(userPixelsSchema)), delta)
+      .localCheckpoint(false)
+
+    // 4. dirty z14 tiles + global layer rebuild restricted to them
+    val dirty = delta.select(tileOf(col("gx")).as("tx"), tileOf(col("gy")).as("ty")).distinct()
+    dirty.persist()
+    val dirtyZ14 = merged
+      .withColumn("tx", tileOf(col("gx"))).withColumn("ty", tileOf(col("gy")))
+      .join(broadcast(dirty), Seq("tx", "ty"), "left_semi")
+      .groupBy("gx", "gy")
+      .agg(countDistinct(col("user_id")).as("users"), sum("trips").as("trips"))
+      .where(col("users") >= k)
+      .select(lit(14).as("z"), col("gx"), col("gy"), col("users"), col("trips"))
+
+    // splice z14: keep clean tiles, replace dirty ones
+    val oldGlobal = store.read("global", Some(globalSchema))
+    val oldZ14 = oldGlobal.map(_.where(col("z") === 14)).getOrElse(emptyGlobal)
+    var level = oldZ14
+      .withColumn("tx", tileOf(col("gx"))).withColumn("ty", tileOf(col("gy")))
+      .join(broadcast(dirty), Seq("tx", "ty"), "left_anti")
+      .drop("tx", "ty")
+      .unionByName(dirtyZ14)
+      .localCheckpoint(false)
+
+    // 5. ancestor rollup: recompute dirty parents per level from the child level
+    var newGlobal = level
+    var dirtyTiles = dirty
+    var z = 14
+    while (z > 0) {
+      val parentDirty = dirtyTiles
+        .select((col("tx") / 2).cast("long").as("tx"), (col("ty") / 2).cast("long").as("ty"))
+        .distinct()
+      parentDirty.persist()
+      val recomputed = level
+        .withColumn("pgx", shiftright(col("gx"), 1)).withColumn("pgy", shiftright(col("gy"), 1))
+        .withColumn("tx", tileOf(col("pgx"))).withColumn("ty", tileOf(col("pgy")))
+        .join(broadcast(parentDirty), Seq("tx", "ty"), "left_semi")
+        .groupBy(col("pgx").as("gx"), col("pgy").as("gy"))
+        .agg(sum("users").as("users"), sum("trips").as("trips"))
+        .select(lit(z - 1).as("z"), col("gx"), col("gy"), col("users"), col("trips"))
+      val oldLevel = oldGlobal.map(_.where(col("z") === z - 1)).getOrElse(emptyGlobal)
+      val spliced = oldLevel
+        .withColumn("tx", tileOf(col("gx"))).withColumn("ty", tileOf(col("gy")))
+        .join(broadcast(parentDirty), Seq("tx", "ty"), "left_anti")
+        .drop("tx", "ty")
+        .unionByName(recomputed)
+      val mat = spliced.localCheckpoint(false)
+      newGlobal = newGlobal.unionByName(mat)
+      level = mat
+      dirtyTiles = parentDirty
+      z -= 1
+    }
+
+    // 6. atomic commit with lineage metrics
+    val version = store.commit(fromId, toId, Map(
+      "user_pixels" -> (merged, None),
+      "global" -> (newGlobal, Some("z"))))
+    delta.unpersist(); merged.unpersist(); dirty.unpersist(); // level persists GC'd with session
+    BatchResult(version, skipped = false)
+  }
+
+  import org.apache.spark.sql.types._
+
+  val globalSchema: StructType = StructType(Seq(
+    StructField("z", IntegerType, nullable = true),
+    StructField("gx", LongType, nullable = true),
+    StructField("gy", LongType, nullable = true),
+    StructField("users", LongType, nullable = true),
+    StructField("trips", LongType, nullable = true)))
+
+  val userPixelsSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType, nullable = true),
+    StructField("gx", LongType, nullable = true),
+    StructField("gy", LongType, nullable = true),
+    StructField("trips", LongType, nullable = true)))
+
+  private def emptyGlobal(implicit spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], globalSchema)
+
+  /** Drive all batches of `maxContributions` each from the store's cursor to
+    * `latestId` (the reference's poll loop, run-once mode). */
+  def runToLatest(store: TileStore, tracks: Dataset[Track], latestId: Long,
+                  maxContributions: Long = 10)(
+      implicit spark: SparkSession): Seq[BatchResult] = {
+    var from = store.lastCommittedId
+    if (from < 0) from = -1
+    val out = Seq.newBuilder[BatchResult]
+    while (from < latestId) {
+      val to = math.min(from + maxContributions, latestId)
+      out += processBatch(store, tracks, from, to)
+      from = to
+    }
+    out.result()
+  }
+}

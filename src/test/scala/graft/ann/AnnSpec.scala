@@ -1,0 +1,73 @@
+package graft.ann
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN operators vs in-memory exact oracles. */
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = graft.spark.Sessions.local(4, "ann-spec")
+
+  private def vecs(n: Int, dim: Int = 16): Seq[(Long, Array[Float])] = {
+    val rnd = new java.util.Random(5)
+    (0 until n).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+  }
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("brute-force top-k matches the in-memory oracle exactly") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val data = vecs(500)
+    val df = data.toDF("vec_id", "embedding")
+    val got = Ann.bruteForceTopK(df, 0L, 10).as[(Long, Double)].collect()
+    val q = data.head._2
+    val want = data.tail
+      .map { case (id, v) => (id, cosine(v, q)) }
+      .sortBy { case (id, sim) => (-sim, id) }
+      .take(10)
+    assert(got.map(_._1).toSeq === want.map(_._1).toSeq)
+    got.zip(want).foreach { case ((_, gs), (_, ws)) => assert(math.abs(gs - ws) < 1e-12) }
+  }
+
+  test("lsh bucket is deterministic and similar vectors collide more") {
+    val rnd = new java.util.Random(11)
+    val base = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val near = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val far = Array.fill(32)(rnd.nextGaussian().toFloat)
+    assert(Ann.lshBucket(base) === Ann.lshBucket(base))
+    val dNear = java.lang.Long.bitCount(Ann.lshBucket(base, 16) ^ Ann.lshBucket(near, 16))
+    val dFar = java.lang.Long.bitCount(Ann.lshBucket(base, 16) ^ Ann.lshBucket(far, 16))
+    assert(dNear <= dFar)
+    assert(dNear <= 2)
+  }
+
+  test("lsh near-dup pairs ⊆ exact pairs, with high recall on planted dups") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val rnd = new java.util.Random(23)
+    // plant 20 near-duplicate pairs among 200 random vectors
+    val base = vecs(200, 32)
+    val planted = (0 until 20).map { i =>
+      val (_, v) = base(i)
+      (1000L + i, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val exact = Ann.exactNearDupPairs(df, 0.99).select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshNearDupPairs(df, 0.99, nPlanes = 8).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must not invent pairs (exact refine)")
+    val plantedPairs = (0 until 20).map(i => (i.toLong, 1000L + i)).toSet
+    assert(plantedPairs.subsetOf(exact))
+    val recall = lsh.intersect(plantedPairs).size.toDouble / plantedPairs.size
+    assert(recall >= 0.8, s"LSH recall $recall")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.TileStore
+import graft.model.Schemas.Track
+import graft.synth.{ImageSynth, TraceSynth}
+
+/**
+ * Incremental maintenance == batch recompute (SURVEY.md §5.6): processing
+ * id-windows through the checkpointed store must converge to exactly the
+ * all-at-once pipeline result; committed batches must never re-apply
+ * (idempotent resume — the fix for the reference's at-least-once
+ * double-count, Worker.cs:122-129). One store drives all assertions.
+ */
+class IncrementalSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = graft.spark.Sessions.local(8, "incremental-spec")
+
+  private val N = 120
+  private def testTracks(implicit s: SparkSession) = {
+    import s.implicits._
+    s.createDataset((0L until N).map { i =>
+      val ph = ImageSynth.phashOf(i)
+      Track(i, TraceSynth.userOf(ph, 6), TraceSynth.trace(ph))
+    })
+  }
+
+  private lazy val dir = Files.createTempDirectory("tilestore").toString
+  private lazy val ran: Seq[Incremental.BatchResult] = {
+    implicit val s: SparkSession = spark
+    val store = new TileStore(dir)
+    Incremental.runToLatest(store, testTracks, latestId = N - 1, maxContributions = 40)
+  }
+
+  test("3 incremental batches == one-shot pipeline; resume skips committed work") {
+    implicit val s: SparkSession = spark
+    assert(ran.size === 3)
+    assert(ran.forall(!_.skipped))
+    val store = new TileStore(dir)
+    assert(store.currentVersion === 3)
+    assert(store.lastCommittedId === N - 1)
+
+    // the incremental global relation equals the one-shot pyramid
+    val got = store.read("global", Some(Incremental.globalSchema)).get.collect()
+      .map(r => ((r.getAs[Int]("z"), r.getAs[Long]("gx"), r.getAs[Long]("gy")),
+        (r.getAs[Long]("users"), r.getAs[Long]("trips")))).toMap
+    val want = HeatmapPipeline.run(testTracks).pyramid.collect()
+      .map(p => ((p.z, p.gx, p.gy), (p.users, p.trips))).toMap
+    assert(want.nonEmpty)
+    assert(got.size === want.size)
+    assert(got === want)
+
+    // idempotence: re-processing a committed window is a no-op
+    val again = Incremental.processBatch(store, testTracks, -1L, 39L)
+    assert(again.skipped)
+    assert(store.currentVersion === 3)
+
+    // resume: a NEW store instance over the same dir continues, not restarts
+    val resumed = new TileStore(dir)
+    assert(resumed.lastCommittedId === N - 1)
+    assert(Incremental.runToLatest(resumed, testTracks, latestId = N - 1).isEmpty)
+  }
+
+  test("commit records carry lineage: id-window + per-partition row metrics") {
+    implicit val s: SparkSession = spark
+    ran
+    val commits = Files.readAllLines(java.nio.file.Paths.get(dir, "commits.jsonl"))
+    assert(commits.size() === 3)
+    val first = commits.get(0)
+    assert(first.contains(""""from_id": -1"""))
+    assert(first.contains(""""to_id": 39"""))
+    val last = commits.get(2)
+    assert(last.contains(s""""to_id": ${N - 1}"""))
+    Seq(first, last).foreach { line =>
+      assert(line.contains(""""user_pixels""""))
+      assert(line.contains(""""partition_rows""""))
+      assert(line.contains(""""bytes""""))
+    }
+    // per-z lineage for the final global relation: all 15 levels present
+    assert((0 to 14).forall(z => last.contains(s""""$z":""")), last)
+  }
+
+  test("crash before HEAD move leaves the store readable at the old version") {
+    implicit val s: SparkSession = spark
+    ran
+    val store = new TileStore(dir)
+    val v = store.currentVersion
+    val head = java.nio.file.Paths.get(dir, "HEAD")
+    val before = new String(Files.readAllBytes(head))
+    // simulate a crash: stray v<N+1> dir with no HEAD update
+    Files.createDirectories(java.nio.file.Paths.get(dir, "global", s"v${v + 1}"))
+    assert(store.currentVersion === v)
+    assert(new String(Files.readAllBytes(head)) === before)
+    assert(store.read("global", Some(Incremental.globalSchema)).isDefined)
+  }
+}
