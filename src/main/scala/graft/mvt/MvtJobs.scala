@@ -19,6 +19,19 @@ import graft.model.Schemas.{GlobalPixel, MvtTile}
 object MvtJobs {
   val Resolution = graft.raster.Rasterize.Resolution
 
+  /** Write tiles as the reference's on-disk layout {out}/{z}/{x}/{y}.mvt
+    * (Worker.cs:270-278, HeatMap.cs:148) — distributed foreachPartition,
+    * one file per tile, executor-local I/O. */
+  def writeMvtFiles(tiles: org.apache.spark.sql.Dataset[MvtTile], outDir: String): Unit = {
+    tiles.foreachPartition { (it: Iterator[MvtTile]) =>
+      it.foreach { t =>
+        val dir = java.nio.file.Paths.get(outDir, t.z.toString, t.tx.toString)
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(dir.resolve(s"${t.ty}.mvt"), t.mvt)
+      }
+    }
+  }
+
   def encodeTiles(pixels: Dataset[GlobalPixel], resolution: Int = Resolution)(
       implicit spark: SparkSession): Dataset[MvtTile] = {
     import spark.implicits._

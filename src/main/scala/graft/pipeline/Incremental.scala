@@ -24,9 +24,11 @@ import graft.raster.Rasterize
  *      child level (HeatMapExtensions.cs:148-214), splice each level
  *   6. commit all relations + cursor atomically with lineage metrics
  *
- * Every step is keyed/partitioned — dirty-tile sets are Datasets, never
- * collected; at 10^12-row scale the per-batch cost is bounded by the
- * touched-tile subtree, not the world.
+ * Every pixel-grain step is keyed/partitioned; the dirty-TILE set is the
+ * one deliberately driver-side structure — bounded by the id-window
+ * (maxContributions × tiles-per-track), the same contract as the
+ * reference's in-memory HashSet (Worker.cs:99-103) — so at 10^12-row scale
+ * the per-batch cost is bounded by the touched-tile subtree, not the world.
  */
 object Incremental {
   val Res = Rasterize.Resolution
@@ -82,9 +84,17 @@ object Incremental {
     val merged = mergeUserPixels(store.read("user_pixels", Some(userPixelsSchema)), delta)
       .localCheckpoint(false)
 
-    // 4. dirty z14 tiles + global layer rebuild restricted to them
-    val dirty = delta.select(tileOf(col("gx")).as("tx"), tileOf(col("gy")).as("ty")).distinct()
-    dirty.persist()
+    // 4. dirty z14 tiles + global layer rebuild restricted to them.
+    // The per-batch dirty set is bounded by the id-window (maxContributions ×
+    // tiles-per-track), exactly the reference's in-memory HashSet
+    // (Worker.cs:99-103) — collect it once; ancestor sets then derive on the
+    // driver instead of through a 14-deep chain of distinct+broadcast jobs.
+    import spark.implicits._
+    val dirtySet: Set[(Long, Long)] = delta
+      .select(tileOf(col("gx")).as("tx"), tileOf(col("gy")).as("ty")).distinct()
+      .as[(Long, Long)].collect().toSet
+    def dirtyDf(s: Set[(Long, Long)]) = s.toSeq.toDF("tx", "ty")
+    val dirty = dirtyDf(dirtySet)
     val dirtyZ14 = merged
       .withColumn("tx", tileOf(col("gx"))).withColumn("ty", tileOf(col("gy")))
       .join(broadcast(dirty), Seq("tx", "ty"), "left_semi")
@@ -105,13 +115,11 @@ object Incremental {
 
     // 5. ancestor rollup: recompute dirty parents per level from the child level
     var newGlobal = level
-    var dirtyTiles = dirty
+    var dirtySetZ = dirtySet
     var z = 14
     while (z > 0) {
-      val parentDirty = dirtyTiles
-        .select((col("tx") / 2).cast("long").as("tx"), (col("ty") / 2).cast("long").as("ty"))
-        .distinct()
-      parentDirty.persist()
+      dirtySetZ = dirtySetZ.map { case (tx, ty) => (tx / 2, ty / 2) }
+      val parentDirty = dirtyDf(dirtySetZ)
       val recomputed = level
         .withColumn("pgx", shiftright(col("gx"), 1)).withColumn("pgy", shiftright(col("gy"), 1))
         .withColumn("tx", tileOf(col("pgx"))).withColumn("ty", tileOf(col("pgy")))
@@ -128,7 +136,6 @@ object Incremental {
       val mat = spliced.localCheckpoint(false)
       newGlobal = newGlobal.unionByName(mat)
       level = mat
-      dirtyTiles = parentDirty
       z -= 1
     }
 
@@ -136,7 +143,7 @@ object Incremental {
     val version = store.commit(fromId, toId, Map(
       "user_pixels" -> (merged, None),
       "global" -> (newGlobal, Some("z"))))
-    delta.unpersist(); merged.unpersist(); dirty.unpersist(); // level persists GC'd with session
+    delta.unpersist(); merged.unpersist()
     BatchResult(version, skipped = false)
   }
 

@@ -93,6 +93,20 @@ class HeatmapPipelineSpec extends AnyFunSuite {
     assert(totalFeats === oracleZ14.size)
   }
 
+  test("MVT filesystem sink writes the reference's {z}/{x}/{y}.mvt layout") {
+    implicit val s: SparkSession = spark
+    val out = java.nio.file.Files.createTempDirectory("mvt-sink").toString
+    val tiles = HeatmapPipeline.mvt(result.z14)
+    graft.mvt.MvtJobs.writeMvtFiles(tiles, out)
+    val want = tiles.collect()
+    assert(want.nonEmpty)
+    want.foreach { t =>
+      val f = java.nio.file.Paths.get(out, t.z.toString, t.tx.toString, s"${t.ty}.mvt")
+      assert(java.nio.file.Files.exists(f), f.toString)
+      assert(java.nio.file.Files.readAllBytes(f).toSeq === t.mvt.toSeq)
+    }
+  }
+
   test("k-anonymity: raising k strictly shrinks (or keeps) the surviving pixel set") {
     implicit val s: SparkSession = spark
     import s.implicits._
