@@ -75,6 +75,54 @@ object HeatmapAgg {
       .as[GlobalPixel]
   }
 
+  /** Two-phase SALTED variant of the k-anonymity layer for hot-key regimes
+    * (north rule: "explicit salting for hot urban cells"). Phase 1 groups on
+    * (pkey, salt = user_id % S) — splitting any single hot pixel's rows
+    * across S reducers — and pre-aggregates to (pixel, user) grain inside
+    * each salt; because the salt is a FUNCTION of user_id, a user never
+    * spans salts, so phase 2's count over (pixel, salt-partials) is still
+    * the exact distinct-user count. Proven equal to the unsalted plan in
+    * HeatmapAggSpec. Use when a cell's row count dwarfs the average (urban
+    * cores at planetary scale); the unsalted fused plan already splits by
+    * (pkey, user) so salting matters when single (pixel, user) pairs repeat
+    * massively across tracks. */
+  def globalGrainSalted(rasterPixels: org.apache.spark.sql.Dataset[graft.model.Schemas.PixelVisit],
+                        k: Int = KAnonymity, salts: Int = 16)(
+      implicit spark: SparkSession): Dataset[GlobalPixel] = {
+    import spark.implicits._
+    val phase1 = rasterPixels.toDF()
+      .withColumn("salt", pmod(col("user_id"), lit(salts)))
+      .groupBy($"pkey", $"salt", $"user_id")
+      .agg(sum($"trips").as("trips"))
+    val phase2 = phase1
+      .groupBy($"pkey", $"salt")
+      .agg(count(lit(1)).as("users_part"), sum($"trips").as("trips_part"))
+    phase2
+      .groupBy($"pkey")
+      .agg(sum($"users_part").as("users"), sum($"trips_part").as("trips"))
+      .where($"users" >= k)
+      .select(lit(graft.raster.Rasterize.Zoom).as("z"),
+        shiftrightunsigned($"pkey", 32).as("gx"),
+        $"pkey".bitwiseAND(lit(graft.core.Codec.U32Max)).as("gy"),
+        $"users", $"trips")
+      .as[GlobalPixel]
+  }
+
+  /** tile→users inverted index (S13, Worker.cs:298-338): distinct users per
+    * z14 tile as a sorted array — usually fused away into the count-distinct
+    * aggregate, materialized here as the library surface. */
+  def tileUsersIndex(rasterPixels: org.apache.spark.sql.Dataset[graft.model.Schemas.PixelVisit])(
+      implicit spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val res = graft.raster.Rasterize.Resolution
+    rasterPixels.toDF()
+      .select(floor(shiftrightunsigned($"pkey", 32) / res).cast("long").as("tx"),
+        floor($"pkey".bitwiseAND(lit(graft.core.Codec.U32Max)) / res).cast("long").as("ty"),
+        $"user_id")
+      .groupBy($"tx", $"ty")
+      .agg(sort_array(collect_set($"user_id")).as("users"))
+  }
+
   /** Packed export form: u64 = users << 32 | trips (Encoder.cs:10-13) —
     * applied only at the boundary to avoid the carry hazard of packed sums. */
   def packed(global: DataFrame): DataFrame =

@@ -75,7 +75,7 @@ object SpatialJoins {
     * query's cell before the window — exact as long as the ring radius
     * covers the true k-th neighbor (caller grows ring until counts reach k). */
   def knnCellRing(points: DataFrame, queries: Seq[(Long, Double, Double)], k: Int,
-                  ring: Int = 2, zoom: Int = CellZoom)(
+                  ring: Int = 2, zoom: Int = CellZoom, preIndexed: Boolean = false)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -91,12 +91,55 @@ object SpatialJoins {
     val dist2 = (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
       (col("lat") - col("qlat")) * (col("lat") - col("qlat"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist2"), col("pid"))
-    withCell(points, zoom)
+    (if (preIndexed) points else withCell(points, zoom))
       .join(broadcast(candCells), "cell")
       .withColumn("dist2", dist2)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
-      .select(col("qid"), col("rn"), col("pid"))
+      .select(col("qid"), col("rn"), col("pid"), col("dist2"))
+  }
+
+  /**
+   * Exact kNN via adaptive cell-ring expansion: start with a small ring of
+   * cells around each query, grow it until (a) every query has ≥ k
+   * candidates and (b) the k-th candidate's distance is provably covered by
+   * the ring (no closer point can live outside it). Returns exactly
+   * `knnBruteForce`'s answer while only ever scanning candidate cells — the
+   * plan that survives a 10^12-point table, where the brute-force
+   * cross-join never finishes.
+   */
+  def knnExact(points: DataFrame, queries: Seq[(Long, Double, Double)], k: Int,
+               zoom: Int = CellZoom)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val indexed = withCell(points, zoom)
+    indexed.persist()
+    try {
+      var ring = 2
+      var result: Option[DataFrame] = None
+      while (result.isEmpty) {
+        val cand = knnCellRing(indexed, queries, k, ring, zoom, preIndexed = true)
+        // verification: per query, k candidates found and the k-th distance
+        // is within the radius the ring provably covers
+        val kth = cand.groupBy($"qid")
+          .agg(count(lit(1)).as("n"), max($"dist2").as("maxd2"))
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+        val covered = queries.forall { case (qid, qlon, qlat) =>
+          kth.get(qid).exists { case (n, maxd2) =>
+            val (tx, ty) = Slippy.worldToTile(qlon, qlat, zoom)
+            val (left, top, right, bottom) = Slippy.boxXY(zoom, tx, ty)
+            // the ring guarantees coverage of a disc whose radius is the
+            // ring width times the smaller cell dimension, measured from the
+            // query's own cell boundary — conservative lower bound
+            val safe = (ring.toDouble - 1) * math.min(right - left, top - bottom)
+            n >= k && math.sqrt(maxd2) <= safe
+          }
+        }
+        if (covered) result = Some(cand.select($"qid", $"rn", $"pid"))
+        else ring *= 2
+      }
+      result.get
+    } finally indexed.unpersist()
   }
 
   /** Raster↔vector overlay: heatmap pixels ⋈ rasterized geometry pixels on

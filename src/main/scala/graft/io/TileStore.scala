@@ -54,6 +54,26 @@ class TileStore(root: String)(implicit spark: SparkSession) {
       Some(reader.parquet(snapshotPath(name)))
     } else None
 
+  /** S4 — tile point lookup: the global relation pruned to one (z, tx, ty)
+    * tile. z is a physical partition (directory pruning); tx/ty prune via
+    * parquet min/max row-group stats. */
+  def tile(z: Int, tx: Long, ty: Long, res: Int = 512,
+           schema: Option[StructType] = None): Option[DataFrame] =
+    read("global", schema).map { g =>
+      import org.apache.spark.sql.functions._
+      g.where(col("z") === z &&
+        floor(col("gx") / res) === tx && floor(col("gy") / res) === ty)
+    }
+
+  /** S5 — tile enumeration: distinct (z, tx, ty) with data (fixes the
+    * reference's glob-extension bug, HeatMap.cs:38-62 vs :148). */
+  def tiles(res: Int = 512, schema: Option[StructType] = None): Option[DataFrame] =
+    read("global", schema).map { g =>
+      import org.apache.spark.sql.functions._
+      g.select(col("z"), floor(col("gx") / res).cast("long").as("tx"),
+        floor(col("gy") / res).cast("long").as("ty")).distinct()
+    }
+
   /** Last committed batch cursor (the reference's LastContributionId). */
   def lastCommittedId: Long = committedBatches.map(_._2).foldLeft(-1L)(math.max)
 

@@ -139,9 +139,23 @@ object Incremental {
       z -= 1
     }
 
+    // per-user cursors (S12, Worker.cs:290-296): last contribution id seen
+    // per user, merged with the previous snapshot
+    val batchCursors = batch.toDF()
+      .groupBy("user_id").agg(max("contribution_id").as("last_id"))
+    val userCursors = store.read("user_cursors", Some(userCursorsSchema)) match {
+      case None => batchCursors
+      case Some(old) =>
+        old.withColumnRenamed("last_id", "old_id")
+          .join(batchCursors.withColumnRenamed("last_id", "new_id"), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            greatest(coalesce(col("old_id"), lit(-1L)), coalesce(col("new_id"), lit(-1L))).as("last_id"))
+    }
+
     // 6. atomic commit with lineage metrics
     val version = store.commit(fromId, toId, Map(
       "user_pixels" -> (merged, None),
+      "user_cursors" -> (userCursors, None),
       "global" -> (newGlobal, Some("z"))))
     delta.unpersist(); merged.unpersist()
     BatchResult(version, skipped = false)
@@ -155,6 +169,10 @@ object Incremental {
     StructField("gy", LongType, nullable = true),
     StructField("users", LongType, nullable = true),
     StructField("trips", LongType, nullable = true)))
+
+  val userCursorsSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType, nullable = true),
+    StructField("last_id", LongType, nullable = true)))
 
   val userPixelsSchema: StructType = StructType(Seq(
     StructField("user_id", LongType, nullable = true),

@@ -63,6 +63,11 @@ object GraftQueries {
       SpatialJoins.knnBruteForce(eventPoints(s, d), KnnQueries, 5)
     }),
 
+    "q_geo_knn_exact" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      SpatialJoins.knnExact(eventPoints(s, d), KnnQueries, 5)
+    }),
+
     // ---- similarity search (oracle-matched) ----
     "q_ann_cosine_all" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -159,6 +164,19 @@ object GraftQueries {
           sum(col("psnr_ok")).as("psnr_ok"), sum(col("caption_ok")).as("caption_ok"))
     }),
 
+    "q_img_thumbnails" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.image.ImageOps.resize(HeatmapPipeline.images(200), 16, 16).toDF()
+        .select(col("image_id"), col("w"), col("h"), length(col("png")).as("png_bytes"))
+    }),
+
+    "q_img_frames_stub" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.image.ImageOps.frameSample(HeatmapPipeline.images(100).toDF()).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("frames"), max(col("ts_ms")).as("last_ts_ms"))
+    }),
+
     "q_img_features" -> ((s, d) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
@@ -201,6 +219,16 @@ object GraftQueries {
          FROM pts JOIN regions ON lon >= lft AND lon <= rght AND lat >= bottom AND lat <= top
          GROUP BY 1""",
     "q_geo_knn" ->
+      """WITH pts AS (SELECT event_id AS pid,
+                             3.0 + CAST(event_id % 2000 AS DOUBLE)/1000.0 AS lon,
+                             50.0 + CAST(event_id*3 % 1500 AS DOUBLE)/1000.0 AS lat FROM events),
+              qs(qid, qlon, qlat) AS (VALUES (1, 3.5, 50.5), (2, 4.2, 51.0),
+                                             (3, 4.8, 50.2), (4, 3.1, 51.4))
+         SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS INTEGER) AS rn, pid FROM (
+           SELECT qid, pid, row_number() OVER (PARTITION BY qid
+                    ORDER BY (lon-qlon)*(lon-qlon) + (lat-qlat)*(lat-qlat), pid) AS rn
+           FROM pts CROSS JOIN qs) WHERE rn <= 5""",
+    "q_geo_knn_exact" ->
       """WITH pts AS (SELECT event_id AS pid,
                              3.0 + CAST(event_id % 2000 AS DOUBLE)/1000.0 AS lon,
                              50.0 + CAST(event_id*3 % 1500 AS DOUBLE)/1000.0 AS lat FROM events),

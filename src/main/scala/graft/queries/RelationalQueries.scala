@@ -175,6 +175,13 @@ object RelationalQueries {
           col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))),
 
+    // S13 — tile→users inverted index (Worker.cs:298-338): sorted distinct
+    // user set per cell (set semantics = collect_set idempotence, U2)
+    "q_s13_tile_users" -> ((s, d) =>
+      events(s, d)
+        .groupBy((col("event_id") * 7 % 200).as("cell"))
+        .agg(sort_array(collect_set(col("user_id"))).as("users"))),
+
     // F1/F2 analog — type + null filters
     "q_f1_filters" -> ((s, d) =>
       events(s, d)
@@ -259,6 +266,9 @@ object RelationalQueries {
       """SELECT CAST(floor(epoch_us(ts)/3600000000) AS BIGINT) AS hour_bucket, event_type,
                 count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
          FROM events GROUP BY 1, 2""",
+    "q_s13_tile_users" ->
+      """SELECT (event_id*7) % 200 AS cell, list_sort(list(DISTINCT user_id)) AS users
+         FROM events GROUP BY 1""",
     "q_f1_filters" ->
       """SELECT event_type, count(*) AS n FROM events
          WHERE event_type IN ('click', 'view') AND props IS NOT NULL GROUP BY event_type"""

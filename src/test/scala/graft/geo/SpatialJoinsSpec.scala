@@ -51,9 +51,23 @@ class SpatialJoinsSpec extends AnyFunSuite {
     val brute = SpatialJoins.knnBruteForce(df, qs, 10)
       .as[(Long, Int, Long)].collect().toSet
     val ring = SpatialJoins.knnCellRing(df, qs, 10, ring = 40)
-      .as[(Long, Int, Long)].collect().toSet
+      .select("qid", "rn", "pid").as[(Long, Int, Long)].collect().toSet
     assert(brute === ring)
     assert(brute.size === 20)
+  }
+
+  test("adaptive-ring exact kNN == brute force, including sparse far-away queries") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val pts = points(3000)
+    val df = pts.toDF("pid", "lon", "lat")
+    // one query inside the cloud, one at its edge, one far outside (forces
+    // several ring doublings before the coverage proof holds)
+    val qs = Seq((1L, 4.40, 50.90), (2L, 4.25, 50.75), (3L, 4.9, 51.3))
+    val brute = SpatialJoins.knnBruteForce(df, qs, 7).as[(Long, Int, Long)].collect().toSet
+    val exact = SpatialJoins.knnExact(df, qs, 7).as[(Long, Int, Long)].collect().toSet
+    assert(exact === brute)
+    assert(exact.size === 21)
   }
 
   test("raster-vector overlay is an exact pixel equi-join") {

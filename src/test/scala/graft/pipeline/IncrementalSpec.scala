@@ -83,6 +83,29 @@ class IncrementalSpec extends AnyFunSuite {
     assert((0 to 14).forall(z => last.contains(s""""$z":""")), last)
   }
 
+  test("tile lookup (S4), tile enumeration (S5), per-user cursors (S12)") {
+    implicit val s: SparkSession = spark
+    ran
+    val store = new TileStore(dir)
+    val tiles = store.tiles(schema = Some(Incremental.globalSchema)).get.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(tiles.nonEmpty)
+    assert(tiles.map(_._1).toSet === (0 to 14).toSet)
+    val (z, tx, ty) = tiles.filter(_._1 == 14).head
+    val one = store.tile(z, tx, ty, schema = Some(Incremental.globalSchema)).get.collect()
+    assert(one.nonEmpty)
+    one.foreach { r =>
+      assert(r.getAs[Long]("gx") / 512 === tx && r.getAs[Long]("gy") / 512 === ty)
+    }
+    // per-user cursors: last_id per user == max contribution id of that user
+    val cursors = store.read("user_cursors", Some(Incremental.userCursorsSchema)).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = (0L until N).map { i =>
+      (graft.synth.TraceSynth.userOf(graft.synth.ImageSynth.phashOf(i), 6), i)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(cursors === want)
+  }
+
   test("crash before HEAD move leaves the store readable at the old version") {
     implicit val s: SparkSession = spark
     ran
