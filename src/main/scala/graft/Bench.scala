@@ -32,6 +32,8 @@ object Bench {
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.local.dir",
+        graft.spark.Sessions.scratchDir.getOrElse(System.getProperty("java.io.tmpdir")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -53,6 +55,8 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.local.dir",
+        graft.spark.Sessions.scratchDir.getOrElse(System.getProperty("java.io.tmpdir")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

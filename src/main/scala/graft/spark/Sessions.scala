@@ -5,11 +5,23 @@ import org.apache.spark.sql.SparkSession
 /** Session factory with the engine's defaults (local mode; on a cluster the
   * same conf arrives via spark-submit). */
 object Sessions {
+  /** tmpfs shuffle scratch when available (local mode writes shuffle files
+    * to disk otherwise; a real cluster has NVMe + network instead). */
+  def scratchDir: Option[String] = {
+    val d = new java.io.File("/dev/shm")
+    if (d.isDirectory && d.canWrite) {
+      val s = new java.io.File(d, "spark-local")
+      s.mkdirs()
+      Some(s.getAbsolutePath)
+    } else None
+  }
+
   def local(cpus: Int = 32, app: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(app)
       .config("spark.sql.shuffle.partitions", cpus.toString)
+    val spark = scratchDir.fold(builder0)(d => builder0.config("spark.local.dir", d))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -26,6 +26,8 @@ object ScalingProbe {
       .master(s"local[$cpus]")
       .appName(s"scaling-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.local.dir",
+        graft.spark.Sessions.scratchDir.getOrElse(System.getProperty("java.io.tmpdir")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,74 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan shape gates: the plans that must survive a 100× scale-up.
+ * These assert the optimizer contract (pushdown, pruning, broadcasts, no
+ * cartesian products, codegen'd expressions) rather than output values.
+ */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = Sessions.local(4, "plan-spec")
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scan: filters pushed, columns pruned") {
+    implicit val s: SparkSession = spark
+    val df = graft.queries.Tables.events(s, sf)
+      .where(col("event_id") > 100)
+      .select("event_id", "user_id")
+    val scan = df.queryExecution.sparkPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,100)]"), scan)
+    assert(scan.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"), scan)
+  }
+
+  test("point-in-polygon join: broadcast-only, no cartesian, no shuffle of the point side") {
+    implicit val s: SparkSession = spark
+    val plan = physical(graft.geo.SpatialJoins.pointInRegion(
+      graft.queries.GraftQueries.eventPoints(s, sf),
+      graft.queries.GraftQueries.TestRegions))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("3-way join: the small dimension side is broadcast") {
+    implicit val s: SparkSession = spark
+    val plan = physical(graft.queries.RelationalQueries.queries("q_j1_join3")(s, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("fused z14: exactly two exchanges (partial (pixel,user), final pixel)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val raster = graft.raster.Rasterize.pixelKeys(
+      s.createDataset(Seq(graft.model.Schemas.Track(1, 1,
+        Array(Array(4.35, 50.85), Array(4.351, 50.851))))))
+    val plan = physical(graft.agg.HeatmapAgg.globalGrainFused(raster).toDF())
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 2, plan)
+  }
+
+  test("pyramid: ONE exchange for all 15 levels") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val z14 = s.createDataset(Seq(graft.model.Schemas.GlobalPixel(14, 100, 100, 3, 5)))
+    val plan = physical(graft.agg.Pyramid.allLevels(z14).toDF())
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, plan)
+  }
+
+  test("slippy_cell is a native expression, not a UDF") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val plan = physical(Seq((4.35, 50.85)).toDF("lon", "lat")
+      .select(graft.functions.SlippyFunctions.slippyCell(s, col("lon"), col("lat"), 14)))
+    assert(plan.contains("slippy_cell"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+}
