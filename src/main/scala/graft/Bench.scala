@@ -31,7 +31,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      // strong-scaling protocol: identical plan (fixed partition count) at
+      // both cluster sizes; only compute changes (BENCH/BASELINE.md)
+      .config("spark.sql.shuffle.partitions", "64")
       .config("spark.local.dir",
         graft.spark.Sessions.scratchDir.getOrElse(System.getProperty("java.io.tmpdir")))
       .config("spark.sql.adaptive.enabled", "true")

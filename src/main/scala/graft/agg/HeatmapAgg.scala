@@ -108,6 +108,26 @@ object HeatmapAgg {
       .as[GlobalPixel]
   }
 
+  /** Single-exchange z14 via the native TypedImperativeAggregate
+    * (graft.functions.UserTripsAgg): the user set rides in the partial
+    * buffer, so there is exactly ONE hash exchange on the pixel key —
+    * vs two for the built-in countDistinct plan. Proven equal to the other
+    * plans in HeatmapAggSpec; exchange count asserted in PlanQualitySpec. */
+  def globalGrainNative(rasterPixels: org.apache.spark.sql.Dataset[graft.model.Schemas.PixelVisit],
+                        k: Int = KAnonymity)(
+      implicit spark: SparkSession): Dataset[GlobalPixel] = {
+    import spark.implicits._
+    rasterPixels.toDF()
+      .groupBy($"pkey")
+      .agg(graft.functions.UserTripsFunctions.userTrips(spark, $"user_id", $"trips").as("ut"))
+      .where($"ut.users" >= k)
+      .select(lit(graft.raster.Rasterize.Zoom).as("z"),
+        shiftrightunsigned($"pkey", 32).as("gx"),
+        $"pkey".bitwiseAND(lit(graft.core.Codec.U32Max)).as("gy"),
+        $"ut.users".as("users"), $"ut.trips".as("trips"))
+      .as[GlobalPixel]
+  }
+
   /** tile→users inverted index (S13, Worker.cs:298-338): distinct users per
     * z14 tile as a sorted array — usually fused away into the count-distinct
     * aggregate, materialized here as the library surface. */

@@ -13,7 +13,12 @@ object ScalingProbe {
   def flagshipOnce(spark: SparkSession, sfDir: String): (Long, Double) = {
     implicit val s: SparkSession = spark
     val t0 = System.nanoTime()
-    val tracks = graft.queries.GraftQueries.eventTracks(spark, sfDir)
+    // sfDir "direct:N" → N synthesized tracks (amortizes fixed driver/AQE
+    // overhead for the scaling measurement); otherwise events-derived
+    val tracks =
+      if (sfDir.startsWith("direct:"))
+        graft.pipeline.HeatmapPipeline.tracksDirect(sfDir.stripPrefix("direct:").toLong)
+      else graft.queries.GraftQueries.eventTracks(spark, sfDir)
     val result = graft.pipeline.HeatmapPipeline.run(tracks)
     val tiles = graft.pipeline.HeatmapPipeline.mvt(result.pyramid).count()
     val secs = (System.nanoTime() - t0) / 1e9
@@ -25,7 +30,10 @@ object ScalingProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      // strong-scaling protocol: the PLAN stays identical across cluster
+      // sizes (fixed partition count, as on a real cluster); only the
+      // compute resources change
+      .config("spark.sql.shuffle.partitions", "64")
       .config("spark.local.dir",
         graft.spark.Sessions.scratchDir.getOrElse(System.getProperty("java.io.tmpdir")))
       .config("spark.sql.adaptive.enabled", "true")

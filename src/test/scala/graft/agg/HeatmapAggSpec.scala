@@ -30,6 +30,32 @@ class HeatmapAggSpec extends AnyFunSuite {
     assert(salted === fused)
   }
 
+  test("native TypedImperativeAggregate plan == fused count-distinct plan") {
+    implicit val s: SparkSession = spark
+    val fused = HeatmapAgg.globalGrainFused(raster).collect()
+      .map(p => ((p.gx, p.gy), (p.users, p.trips))).toMap
+    val native = HeatmapAgg.globalGrainNative(raster).collect()
+      .map(p => ((p.gx, p.gy), (p.users, p.trips))).toMap
+    assert(fused.nonEmpty)
+    assert(native === fused)
+  }
+
+  test("native aggregate handles user_id 0 and null-free paths correctly") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // user 0 exercises the open-hash set's zero-sentinel slot
+    val visits = Seq(
+      graft.model.Schemas.PixelVisit(0L, 42L, 1L),
+      graft.model.Schemas.PixelVisit(0L, 42L, 2L),
+      graft.model.Schemas.PixelVisit(1L, 42L, 3L),
+      graft.model.Schemas.PixelVisit(2L, 42L, 4L),
+      graft.model.Schemas.PixelVisit(0L, 99L, 7L))
+    val got = HeatmapAgg.globalGrainNative(s.createDataset(visits), k = 1).collect()
+      .map(p => (((p.gx << 32) | p.gy), (p.users, p.trips))).toMap
+    assert(got(42L) === ((3L, 10L)))
+    assert(got(99L) === ((1L, 7L)))
+  }
+
   test("explicit user-grain cascade == fused plan") {
     implicit val s: SparkSession = spark
     import s.implicits._
