@@ -93,30 +93,65 @@ object Dedup {
 
   // -- Spark jobs --------------------------------------------------------------
 
+  /** Exact Jaccard of two SORTED distinct-hash arrays (merge intersect). */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
   /** MinHash-LSH near-dup candidate pairs with exact-Jaccard refine.
-    * docs(doc_id: Long, text: String) → (a, b, jaccard) with a < b. */
+    * docs(doc_id: Long, text: String) → (a, b, jaccard) with a < b.
+    * Shingle sets are hashed + sorted ONCE per document (not per candidate
+    * pair); the refine is a linear merge-intersect over the sorted hashes —
+    * exact because the 64-bit shingle hash is collision-free at corpus
+    * scale (documented approximation; the kernel `jaccard` on raw string
+    * sets remains the test oracle). */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.7,
                       numHashes: Int = 64, bands: Int = 16)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val sigs: Dataset[(Long, Array[Long])] = docs.select("doc_id", "text").as[(Long, String)]
-      .map { case (id, text) => (id, minhash(shingles(text), numHashes)) }
-    val buckets = sigs.flatMap { case (id, sig) =>
+    val prepared: Dataset[(Long, Array[Long], Array[Long])] =
+      docs.select("doc_id", "text").as[(Long, String)].map { case (id, text) =>
+        val sh = shingles(text).map(shingleHash).toArray.sorted
+        val sig = minhashFromHashes(sh, numHashes)
+        (id, sh, sig)
+      }
+    prepared.persist()
+    val buckets = prepared.flatMap { case (id, sh, sig) =>
       lshBands(sig, bands).zipWithIndex.map { case (h, b) => (id, b, h) }
     }.toDF("doc_id", "band", "bucket")
+    val shingleSets = prepared.map { case (id, sh, _) => (id, sh) }.toDF("doc_id", "sh")
     val cand = buckets.as("l").join(buckets.as("r"),
         $"l.band" === $"r.band" && $"l.bucket" === $"r.bucket" && $"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("a"), $"r.doc_id".as("b")).distinct()
-    // refine: exact jaccard on the colliding pairs only
-    val texts = docs.select($"doc_id", $"text")
     cand
-      .join(texts.withColumnRenamed("doc_id", "a").withColumnRenamed("text", "ta"), "a")
-      .join(texts.withColumnRenamed("doc_id", "b").withColumnRenamed("text", "tb"), "b")
-      .as[(Long, Long, String, String)]
-      .map { case (b, a, ta, tb) => (a, b, jaccard(shingles(ta), shingles(tb))) }
+      .join(shingleSets.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
+      .join(shingleSets.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (b, a, sha, shb) => (a, b, jaccardSorted(sha, shb)) }
       .toDF("a", "b", "jaccard")
       .where($"jaccard" >= threshold)
       .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"), $"jaccard")
+  }
+
+  /** MinHash signature from pre-hashed shingles. */
+  def minhashFromHashes(hashes: Array[Long], numHashes: Int = 64, seed: Long = 42L): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    hashes.foreach { h0 =>
+      var k = 0
+      while (k < numHashes) {
+        val hk = mix64(h0 ^ mix64(seed + k))
+        if (hk < sig(k)) sig(k) = hk
+        k += 1
+      }
+    }
+    sig
   }
 
   /** SimHash relation: doc_id → 64-bit fingerprint + its 4 16-bit blocks

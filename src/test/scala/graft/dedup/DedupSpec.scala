@@ -62,6 +62,25 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.hamming(5L, 4L) === 1)
   }
 
+  test("jaccardSorted on hashed shingles == jaccard on string sets") {
+    val rnd = new java.util.Random(13)
+    (1 to 200).foreach { _ =>
+      val a = (1 to 40).map(_ => rnd.nextInt(500).toString).toSet
+      val b = (1 to 40).map(_ => rnd.nextInt(500).toString).toSet
+      val ja = Dedup.jaccard(a, b)
+      val js = Dedup.jaccardSorted(a.map(Dedup.shingleHash).toArray.sorted,
+        b.map(Dedup.shingleHash).toArray.sorted)
+      assert(math.abs(ja - js) < 1e-12)
+    }
+  }
+
+  test("minhashFromHashes == minhash over the same shingles") {
+    val sh = Dedup.shingles("the quick brown fox jumps over everything")
+    val a = Dedup.minhash(sh)
+    val b = Dedup.minhashFromHashes(sh.map(Dedup.shingleHash).toArray.sorted)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("fingerprint: deterministic, window-sensitive") {
     val t = "some document text for fingerprinting purposes"
     assert(Dedup.fingerprint(t) === Dedup.fingerprint(t))
