@@ -175,6 +175,11 @@ object RelationalQueries {
           col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))),
 
+    // per-user sessionization (lag window + running flag sum) — the batch
+    // form of the mapGroupsWithState streaming op (stream/Sessionize)
+    "q_w_sessions" -> ((s, d) =>
+      graft.stream.Sessionize.sessionsBatch(events(s, d))),
+
     // S13 — tile→users inverted index (Worker.cs:298-338): sorted distinct
     // user set per cell (set semantics = collect_set idempotence, U2)
     "q_s13_tile_users" -> ((s, d) =>
@@ -269,6 +274,15 @@ object RelationalQueries {
     "q_s13_tile_users" ->
       """SELECT (event_id*7) % 200 AS cell, list_sort(list(DISTINCT user_id)) AS users
          FROM events GROUP BY 1""",
+    "q_w_sessions" ->
+      """SELECT user_id, count(*) AS n_events, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                max(ts_us) AS last_ts_us FROM (
+           SELECT user_id, ts_us,
+                  CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS new_session
+           FROM (SELECT user_id, epoch_us(ts) AS ts_us,
+                        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+                 FROM events))
+         GROUP BY user_id""",
     "q_f1_filters" ->
       """SELECT event_type, count(*) AS n FROM events
          WHERE event_type IN ('click', 'view') AND props IS NOT NULL GROUP BY event_type"""
