@@ -66,7 +66,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // cache-ownership contract: a query may persist intermediates for its
+      // own lifetime (e.g. HeatmapPipeline.run's z14); the harness owns the
+      // session and clears the cache between queries so nothing leaks into
+      // the next measurement.
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
     }
     spark.stop()
 
@@ -78,11 +84,19 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""flagship":{"tiles":$tiles,"cpus_low":$lowCpus,"cpus_high":$cpus,""" +
       s""""sec_low":$secsLow,"sec_high":$secsHigh,""" +
       s""""tiles_per_sec_low":$tpsLow,"tiles_per_sec_high":$tpsHigh,""" +
-      s""""scaling_efficiency":$efficiency}}""")
+      s""""scaling_efficiency":$efficiency}}"""
+    // the driver parses the LAST stdout line that is bare JSON; sbt's logger
+    // prefixes [info], so print on BOTH streams (run/outputStrategy is also
+    // set to StdoutOutput in build.sbt) and drop a file copy for good measure
+    println(json)
+    System.out.flush()
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
   }
 }

@@ -41,16 +41,24 @@ object Pyramid {
     * rollup — the semantics-defining form (used as the oracle shape). */
   def allLevelsIterative(z14: Dataset[GlobalPixel], minZoom: Int = 0)(
       implicit spark: SparkSession): Dataset[GlobalPixel] = {
+    var persisted = List.empty[Dataset[GlobalPixel]]
     var levels = List(z14)
     var current = z14
     var z = graft.raster.Rasterize.Zoom
     while (z > minZoom) {
       current = rollupOne(current)
       current.persist()
+      persisted ::= current
       levels ::= current
       z -= 1
     }
-    levels.reverse.reduce(_ union _)
+    // materialize eagerly (localCheckpoint also truncates the 15-deep union
+    // lineage that OOMs AQE plan stringification), then release every level
+    // this function persisted — callers get a self-contained Dataset, no
+    // leaked cache blocks (z14 itself is caller-owned, untouched).
+    val out = levels.reverse.reduce(_ union _).localCheckpoint(true)
+    persisted.foreach(_.unpersist())
+    out
   }
 
   /** All levels z14 → minZoom in ONE shuffle: each z14 pixel explodes into

@@ -72,12 +72,23 @@ object Ann {
   }
 
   /** LSH-bucketed ANN: candidates share a bucket; exact cosine refine.
-    * Returns (a, b, sim) candidate near-dup pairs with sim >= threshold. */
-  def lshNearDupPairs(emb: DataFrame, threshold: Double = 0.95, nPlanes: Int = 12)(
+    * Returns (a, b, sim) candidate near-dup pairs with sim >= threshold.
+    * Like Dedup.minhashNearDups, the bucket self-join is capped at
+    * `maxBucket` members per bucket (a degenerate bucket — e.g. a cluster
+    * of identical embeddings — would go O(n²)); drops are observable via
+    * `capObs`, never silent (AnnSpec gates the pathological case). */
+  def lshNearDupPairs(emb: DataFrame, threshold: Double = 0.95, nPlanes: Int = 12,
+                      maxBucket: Int = 256,
+                      capObs: Option[org.apache.spark.sql.Observation] = None)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val b = withLshBuckets(emb, nPlanes)
-    val withVec = b.join(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")), "vec_id")
+    val sizes = b.groupBy($"bucket").agg(count(lit(1)).as("bsz"))
+    val sizesObs = capObs.fold(sizes)(o => sizes.observe(o,
+      sum(when($"bsz" > maxBucket, $"bsz").otherwise(0L)).as("dropped_rows"),
+      sum(when($"bsz" > maxBucket, 1L).otherwise(0L)).as("dropped_buckets")))
+    val capped = b.join(sizesObs, "bucket").where($"bsz" <= maxBucket).drop("bsz")
+    val withVec = capped.join(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")), "vec_id")
     withVec.as("l").join(withVec.as("r"),
         $"l.bucket" === $"r.bucket" && $"l.vec_id" < $"r.vec_id")
       .select($"l.vec_id".as("a"), $"r.vec_id".as("b"),

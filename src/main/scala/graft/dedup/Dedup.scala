@@ -111,9 +111,20 @@ object Dedup {
     * pair); the refine is a linear merge-intersect over the sorted hashes —
     * exact because the 64-bit shingle hash is collision-free at corpus
     * scale (documented approximation; the kernel `jaccard` on raw string
-    * sets remains the test oracle). */
+    * sets remains the test oracle).
+    *
+    * Scale guard: the bucket self-join is quadratic in bucket size, so a
+    * degenerate bucket (boilerplate corpus: thousands of near-identical
+    * docs hashing to one (band, bucket)) is capped at `maxBucket` members —
+    * ALL members of an over-full bucket are dropped from THAT band only;
+    * the same pair usually still collides in another, smaller band, and a
+    * truly boilerplate group is better handled by exact dedup first. The
+    * drop is not silent: pass an `Observation` to read (dropped_rows,
+    * dropped_buckets) after the first action (DedupSpec gates this). */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.7,
-                      numHashes: Int = 64, bands: Int = 16)(
+                      numHashes: Int = 64, bands: Int = 16,
+                      maxBucket: Int = 256,
+                      capObs: Option[org.apache.spark.sql.Observation] = None)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val prepared: Dataset[(Long, Array[Long], Array[Long])] =
@@ -126,8 +137,16 @@ object Dedup {
     val buckets = prepared.flatMap { case (id, sh, sig) =>
       lshBands(sig, bands).zipWithIndex.map { case (h, b) => (id, b, h) }
     }.toDF("doc_id", "band", "bucket")
+    // cap metrics observe the SIZES relation (one row per (band, bucket)) —
+    // execution-time counters, no extra job, no distinct aggregate
+    val sizes = buckets.groupBy($"band", $"bucket").agg(count(lit(1)).as("bsz"))
+    val sizesObs = capObs.fold(sizes)(o => sizes.observe(o,
+      sum(when($"bsz" > maxBucket, $"bsz").otherwise(0L)).as("dropped_rows"),
+      sum(when($"bsz" > maxBucket, 1L).otherwise(0L)).as("dropped_buckets")))
+    val capped = buckets.join(sizesObs, Seq("band", "bucket"))
+      .where($"bsz" <= maxBucket).drop("bsz")
     val shingleSets = prepared.map { case (id, sh, _) => (id, sh) }.toDF("doc_id", "sh")
-    val cand = buckets.as("l").join(buckets.as("r"),
+    val cand = capped.as("l").join(capped.as("r"),
         $"l.band" === $"r.band" && $"l.bucket" === $"r.bucket" && $"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("a"), $"r.doc_id".as("b")).distinct()
     cand

@@ -115,9 +115,15 @@ object SpatialJoins {
     val indexed = withCell(points, zoom)
     indexed.persist()
     try {
+      // termination cap: a ring of 2^zoom tiles covers the whole world grid,
+      // so a larger ring can never add candidates. If coverage still isn't
+      // provable there (e.g. the table has < k rows), fall back to the
+      // brute-force scan — correct by definition, and the candidate set at
+      // that point IS the whole table anyway.
+      val maxRing = 1 << zoom
       var ring = 2
       var result: Option[DataFrame] = None
-      while (result.isEmpty) {
+      while (result.isEmpty && ring <= maxRing) {
         val cand = knnCellRing(indexed, queries, k, ring, zoom, preIndexed = true)
         // verification: per query, k candidates found and the k-th distance
         // is within the radius the ring provably covers
@@ -138,7 +144,7 @@ object SpatialJoins {
         if (covered) result = Some(cand.select($"qid", $"rn", $"pid"))
         else ring *= 2
       }
-      result.get
+      result.getOrElse(knnBruteForce(indexed, queries, k))
     } finally indexed.unpersist()
   }
 

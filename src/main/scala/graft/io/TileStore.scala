@@ -77,16 +77,27 @@ class TileStore(root: String)(implicit spark: SparkSession) {
   /** Last committed batch cursor (the reference's LastContributionId). */
   def lastCommittedId: Long = committedBatches.map(_._2).foldLeft(-1L)(math.max)
 
-  /** (fromId, toId) windows already committed — resume skips these. */
+  /** (fromId, toId) windows already committed — resume skips these.
+    *
+    * A commit record is authoritative only up to HEAD: the record is
+    * appended BEFORE HEAD moves, so a crash in between leaves a dangling
+    * record whose version exceeds `currentVersion`. Filtering on
+    * `version <= currentVersion` makes that batch eligible for re-run
+    * (idempotent: the retry overwrites the dangling v<N+1> snapshot and
+    * re-appends; duplicate lines for the same version are harmless since
+    * HEAD decides). Without the filter the batch would be skipped forever —
+    * silent data loss behind an "exactly-once" facade. */
   def committedBatches: Seq[(Long, Long)] =
     if (!Files.exists(commitsFile)) Seq.empty
     else {
+      val head = currentVersion
+      val Version = """"version":\s*(\d+)""".r.unanchored
       val From = """"from_id":\s*(-?\d+)""".r.unanchored
       val To = """"to_id":\s*(-?\d+)""".r.unanchored
       scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(commitsFile)).asScala.toSeq
         .flatMap { line =>
-          (line, line) match {
-            case (From(f), To(t)) => Some((f.toLong, t.toLong))
+          (line, line, line) match {
+            case (Version(v), From(f), To(t)) if v.toLong <= head => Some((f.toLong, t.toLong))
             case _ => None
           }
         }
@@ -102,6 +113,44 @@ class TileStore(root: String)(implicit spark: SparkSession) {
     }
   }
 
+  /** Write-time stats from parquet FOOTERS (driver-side metadata reads, no
+    * Spark job, no data scan — the Iceberg-manifest analog): total rows +
+    * rows per partition-directory value. Replaces the old post-write
+    * `read.count()` + `groupBy(c).count()` re-scan, which doubled commit
+    * latency with two extra jobs per relation. */
+  private def footerStats(path: String, partitioned: Boolean): (Long, Map[String, Long]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val d = Paths.get(path)
+    if (!Files.exists(d)) return (0L, Map.empty)
+    val s = Files.walk(d)
+    val files =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          .toList
+      } finally s.close()
+    var total = 0L
+    val perPart = scala.collection.mutable.Map.empty[String, Long]
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val n = try reader.getRecordCount finally reader.close()
+      total += n
+      if (partitioned) {
+        // hive-style dir name "<col>=<value>" directly under the snapshot root
+        val rel = d.relativize(f)
+        if (rel.getNameCount > 1) {
+          val seg = rel.getName(0).toString
+          val v = seg.indexOf('=') match { case -1 => seg; case i => seg.substring(i + 1) }
+          perPart.updateWith(v) { c => Some(c.getOrElse(0L) + n) }
+        }
+      }
+    }
+    (total, perPart.toMap)
+  }
+
   /**
    * Write the given relations as version N+1 and commit atomically:
    * parquet first, then the commit record, then HEAD (rename). Metrics
@@ -115,12 +164,10 @@ class TileStore(root: String)(implicit spark: SparkSession) {
       val path = rootPath.resolve(name).resolve(s"v$next").toString
       val writer = df.write.mode("overwrite")
       partitionBy.fold(writer)(c => writer.partitionBy(c)).parquet(path)
-      val written = spark.read.schema(df.schema).parquet(path)
-      val rows = written.count()
-      val perPartition = partitionBy.map { c =>
-        written.groupBy(c).count().collect()
-          .map(r => s""""${r.get(0)}": ${r.getLong(1)}""").sorted.mkString("{", ", ", "}")
-      }.getOrElse("{}")
+      val (rows, partRows) = footerStats(path, partitionBy.isDefined)
+      val perPartition =
+        if (partitionBy.isEmpty) "{}"
+        else partRows.map { case (v, n) => s""""$v": $n""" }.toSeq.sorted.mkString("{", ", ", "}")
       s""""$name": {"rows": $rows, "bytes": ${dirBytes(path)}, "partition_rows": $perPartition}"""
     }
     val record =

@@ -21,6 +21,11 @@ import Tables._
  */
 object GraftQueries {
 
+  /** Synthetic-image row count for the q_img_* queries (deterministic,
+    * scale-independent; the image ops are exactness-gated in ImageSynthSpec,
+    * not by corpus size). */
+  val ImageQueryRows = 1000L
+
   /** events rows → deterministic tracks (event_id seeds the lattice walk,
     * the real user_id drives k-anonymity). */
   def eventTracks(s: SparkSession, d: String) = {
@@ -150,7 +155,9 @@ object GraftQueries {
     "q_img_meta" -> ((s, d) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      val n = events(s, d).count() / 10 max 100
+      // fixed synthetic-image count: a literal, NOT a count() over events —
+      // a query builder must not run driver-side jobs just to size itself
+      val n = ImageQueryRows
       HeatmapPipeline.images(n)
         .map { r =>
           val img = ImageSynth.decode(r.bytes)
@@ -180,7 +187,7 @@ object GraftQueries {
     "q_img_features" -> ((s, d) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      val n = events(s, d).count() / 10 max 100
+      val n = ImageQueryRows
       // batched decode + quadrant-mean feature extraction (the multimodal
       // feature-extract plumbing; per-partition batching like mapInPandas)
       HeatmapPipeline.images(n).mapPartitions { rows =>

@@ -181,11 +181,13 @@ object RelationalQueries {
       graft.stream.Sessionize.sessionsBatch(events(s, d))),
 
     // S13 — tile→users inverted index (Worker.cs:298-338): sorted distinct
-    // user set per cell (set semantics = collect_set idempotence, U2)
+    // user set per cell (set semantics = collect_set idempotence, U2).
+    // Stringified (array_join) so the driver's pandas compare — which can't
+    // hash array cells — sees a plain string column on both sides.
     "q_s13_tile_users" -> ((s, d) =>
       events(s, d)
         .groupBy((col("event_id") * 7 % 200).as("cell"))
-        .agg(sort_array(collect_set(col("user_id"))).as("users"))),
+        .agg(array_join(sort_array(collect_set(col("user_id"))), ",").as("users"))),
 
     // F1/F2 analog — type + null filters
     "q_f1_filters" -> ((s, d) =>
@@ -272,7 +274,8 @@ object RelationalQueries {
                 count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
          FROM events GROUP BY 1, 2""",
     "q_s13_tile_users" ->
-      """SELECT (event_id*7) % 200 AS cell, list_sort(list(DISTINCT user_id)) AS users
+      """SELECT (event_id*7) % 200 AS cell,
+                array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users
          FROM events GROUP BY 1""",
     "q_w_sessions" ->
       """SELECT user_id, count(*) AS n_events, CAST(sum(new_session) AS BIGINT) AS n_sessions,

@@ -20,13 +20,23 @@ object Sessionize {
 
   val DefaultGapUs: Long = 30L * 60 * 1000000 // 30 min
 
+  /** Per-micro-batch state update. Events are sorted WITHIN the batch;
+    * across batches the contract is chronological arrival per user (the
+    * kafka-partition-per-key regime) — only then does the stream converge
+    * exactly to `sessionsBatch` over any micro-batch slicing (SessionizeSpec).
+    * A late cross-batch event (ts < state.lastTs) cannot be re-ordered
+    * retroactively without keeping every timestamp in state; the policy here
+    * is the standard monotone one: it counts toward the CURRENT session
+    * (a non-positive gap never opens a session) and never moves `lastTs`
+    * backwards, so one straggler can't corrupt subsequent gap decisions. */
   def updateState(gapUs: Long)(
       userId: Long, events: Iterator[EventIn], state: GroupState[SessionState]): UserSessions = {
     val sorted = events.toArray.sortBy(_.ts_us)
     var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L, Long.MinValue))
     sorted.foreach { e =>
       val newSession = s.lastTs == Long.MinValue || e.ts_us - s.lastTs > gapUs
-      s = SessionState(e.ts_us, s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1,
+      s = SessionState(math.max(s.lastTs, e.ts_us),
+        s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1,
         math.max(s.maxTs, e.ts_us))
     }
     state.update(s)

@@ -70,4 +70,35 @@ class AnnSpec extends AnyFunSuite {
     val recall = lsh.intersect(plantedPairs).size.toDouble / plantedPairs.size
     assert(recall >= 0.8, s"LSH recall $recall")
   }
+
+  test("bucket cap bounds a degenerate embedding cluster; drops are observed") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val rnd = new java.util.Random(23)
+    val base = vecs(200, 32)
+    val planted = (0 until 20).map { i =>
+      val (_, v) = base(i)
+      (1000L + i, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat))
+    }
+    // 300 identical embeddings — one bucket holds them all; uncapped the
+    // self-join would emit 300·299/2 pairs from that bucket alone
+    val cluster = {
+      val v = Array.fill(32)(rnd.nextGaussian().toFloat)
+      (5000L until 5300L).map(i => (i, v.clone()))
+    }
+    val df = (base ++ planted ++ cluster).toDF("vec_id", "embedding")
+
+    val obs = org.apache.spark.sql.Observation("ann-cap")
+    val got = Ann.lshNearDupPairs(df, 0.99, nPlanes = 8, maxBucket = 50, capObs = Some(obs))
+      .select("a", "b").as[(Long, Long)].collect()
+
+    val metrics = obs.get
+    assert(metrics("dropped_rows").asInstanceOf[Long] >= 300L)
+    assert(metrics("dropped_buckets").asInstanceOf[Long] > 0L)
+    assert(!got.exists { case (a, b) => a >= 5000L && b >= 5000L },
+      "capped cluster must not produce quadratic pairs")
+    val plantedPairs = (0 until 20).map(i => (i.toLong, 1000L + i)).toSet
+    val recall = got.toSet.intersect(plantedPairs).size.toDouble / plantedPairs.size
+    assert(recall >= 0.8, s"recall under cap $recall")
+  }
 }

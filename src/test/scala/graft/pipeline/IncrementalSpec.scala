@@ -106,6 +106,29 @@ class IncrementalSpec extends AnyFunSuite {
     assert(cursors === want)
   }
 
+  test("crash BETWEEN commit record and HEAD move: batch re-runs, no silent loss") {
+    implicit val s: SparkSession = spark
+    val d2 = Files.createTempDirectory("tilestore-crashwin").toString
+    val store = new TileStore(d2)
+    assert(!Incremental.processBatch(store, testTracks, -1L, 39L).skipped)
+    assert(store.currentVersion === 1)
+    // simulate the crash window: the NEXT batch's record lands in
+    // commits.jsonl but HEAD never moves
+    val dangling = """{"version": 2, "from_id": 39, "to_id": 79, "relations": {}}"""
+    Files.write(java.nio.file.Paths.get(d2, "commits.jsonl"),
+      (dangling + "\n").getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+    // the dangling record must NOT count as committed (version > HEAD)
+    assert(store.lastCommittedId === 39L)
+    assert(store.committedBatches === Seq((-1L, 39L)))
+    // resume re-runs the lost batch instead of skipping it forever
+    val r = Incremental.processBatch(store, testTracks, 39L, 79L)
+    assert(!r.skipped)
+    assert(store.currentVersion === 2)
+    assert(store.lastCommittedId === 79L)
+    // and the data is actually there
+    assert(store.read("global", Some(Incremental.globalSchema)).get.count() > 0)
+  }
+
   test("crash before HEAD move leaves the store readable at the old version") {
     implicit val s: SparkSession = spark
     ran
