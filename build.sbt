@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[N,C,mem] masters (ScalingProbe/Bench executor-JVM topology)
+// launch executor processes via the Spark launcher, which needs these to
+// locate the dist's jars without a spark-submit wrapper
+Test / envVars ++= Map("SPARK_SCALA_VERSION" -> "2.13", "SPARK_HOME" -> "/opt/spark")
+run / envVars ++= Map("SPARK_SCALA_VERSION" -> "2.13", "SPARK_HOME" -> "/opt/spark")
 // forward the forked process's stdout verbatim (no [info] prefix) so the
 // driver can parse graft.Bench's single JSON line from sbt output
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -128,6 +128,60 @@ object HeatmapAgg {
       .as[GlobalPixel]
   }
 
+  /** Single-exchange z14 at TILE grain — the scale plan the flagship runs.
+    *
+    * `globalGrainNative` already has one exchange, but it exchanges one row
+    * per distinct (pixel) per map partition; with tracks landing randomly
+    * every partition covers most hot pixels, so the exchange still carries
+    * millions of rows. Grouping by tile (`Rasterize.tileVisits` +
+    * `TileUsersAgg`) exchanges one compact binary buffer per
+    * (map partition × tile) — row count drops by the pixels-per-tile factor
+    * (~500× at sf0.1) and the memory path (row headers, hashing, AQE stats)
+    * with it. Same exact semantics: distinct users + trip sums per pixel,
+    * k-anonymity HAVING (proved equal to the fused plan in HeatmapAggSpec).
+    * Skew posture: the hottest urban tile is ONE key whose merges are
+    * buffer unions (cheap); with 2^28 tiles at z14, keys are plentiful and
+    * AQE rebalances reducers. */
+  def globalGrainTiled(tiles: org.apache.spark.sql.Dataset[graft.model.Schemas.TileVisit],
+                       k: Int = KAnonymity,
+                       zoom: Int = graft.raster.Rasterize.Zoom,
+                       resolution: Int = graft.raster.Rasterize.Resolution)(
+      implicit spark: SparkSession): Dataset[GlobalPixel] =
+    cellsToPixels(tileCells(tiles), k, zoom, resolution)
+
+  /** The tile-grain aggregation itself: one exchange keyed by tkey, one row
+    * per tile out. The flagship caches THIS relation and derives both the
+    * z14 layer (`cellsToPixels`, narrow) and the pyramid
+    * (`Pyramid.lowerLevelsFromTiles`, tile-local pre-agg) from it. */
+  def tileCells(tiles: org.apache.spark.sql.Dataset[graft.model.Schemas.TileVisit])(
+      implicit spark: SparkSession): Dataset[graft.model.Schemas.TileCells] = {
+    import spark.implicits._
+    tiles.toDF()
+      .groupBy($"tkey")
+      .agg(graft.functions.TileUsersFunctions.tileUsers(spark, $"user_id", $"pixels").as("cells"))
+      .as[graft.model.Schemas.TileCells]
+  }
+
+  /** Narrow explode of aggregated tiles into the pixel relation, with the
+    * k-anonymity HAVING (no shuffle — cells are already exact). */
+  def cellsToPixels(tc: Dataset[graft.model.Schemas.TileCells],
+                    k: Int = KAnonymity,
+                    zoom: Int = graft.raster.Rasterize.Zoom,
+                    resolution: Int = graft.raster.Rasterize.Resolution)(
+      implicit spark: SparkSession): Dataset[GlobalPixel] = {
+    import spark.implicits._
+    tc.toDF()
+      .select($"tkey", explode($"cells").as("c"))
+      .where($"c.users" >= k)
+      .select(lit(zoom).as("z"),
+        (shiftrightunsigned($"tkey", 32) * resolution +
+          floor($"c.pix" / resolution)).cast("long").as("gx"),
+        ($"tkey".bitwiseAND(lit(graft.core.Codec.U32Max)) * resolution +
+          $"c.pix" % resolution).cast("long").as("gy"),
+        $"c.users".cast("long").as("users"), $"c.trips".cast("long").as("trips"))
+      .as[GlobalPixel]
+  }
+
   /** tile→users inverted index (S13, Worker.cs:298-338): distinct users per
     * z14 tile as a sorted array — usually fused away into the count-distinct
     * aggregate, materialized here as the library surface. */

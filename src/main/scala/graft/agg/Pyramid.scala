@@ -61,6 +61,75 @@ object Pyramid {
     out
   }
 
+  /** Tile-LOCAL pyramid partials for one aggregated z14 tile (pure kernel).
+    * Rolls the tile's surviving cells up level by level inside the flatMap —
+    * each level 4× smaller — so the resulting partial rows number
+    * ~cells/3, not the 14×cells the per-pixel ancestor-explode would emit
+    * through the exchange. Partials from sibling tiles that share a parent
+    * pixel are merged by the single downstream groupBy; addition is
+    * associative, so the result equals the iterative 2×2 cascade
+    * (HeatMapExtensions.cs:148-214) exactly — proved in PyramidSpec /
+    * HeatmapPipelineSpec. */
+  def localRollup(tkey: Long, cells: Array[graft.model.Schemas.Cell], k: Int,
+                  minZoom: Int, maxZoom: Int = graft.raster.Rasterize.Zoom,
+                  resolution: Int = graft.raster.Rasterize.Resolution): Iterator[GlobalPixel] = {
+    val tx = tkey >>> 32
+    val ty = tkey & 0xFFFFFFFFL
+    // current level's entries, key = gx << 24 | gy (gx at z14 has ≤23 bits)
+    var curKey = new Array[Long](cells.length)
+    var curU = new Array[Long](cells.length)
+    var curT = new Array[Long](cells.length)
+    var n = 0
+    cells.foreach { c =>
+      if (c.users >= k) {
+        val gx = tx * resolution + c.pix / resolution
+        val gy = ty * resolution + c.pix % resolution
+        curKey(n) = (gx << 24) | gy; curU(n) = c.users; curT(n) = c.trips
+        n += 1
+      }
+    }
+    val out = Iterator.newBuilder[GlobalPixel]
+    var z = maxZoom - 1
+    while (z >= minZoom && n > 0) {
+      val users = new scala.collection.mutable.LongMap[Long](n)
+      val trips = new scala.collection.mutable.LongMap[Long](n)
+      var i = 0
+      while (i < n) {
+        val key = (((curKey(i) >>> 24) >> 1) << 24) | ((curKey(i) & 0xFFFFFFL) >> 1)
+        users.update(key, users.getOrElse(key, 0L) + curU(i))
+        trips.update(key, trips.getOrElse(key, 0L) + curT(i))
+        i += 1
+      }
+      n = users.size
+      curKey = new Array[Long](n); curU = new Array[Long](n); curT = new Array[Long](n)
+      var j = 0
+      users.foreach { case (key, u) =>
+        curKey(j) = key; curU(j) = u; curT(j) = trips(key)
+        out += GlobalPixel(z, key >>> 24, key & 0xFFFFFFL, u, trips(key))
+        j += 1
+      }
+      z -= 1
+    }
+    out.result()
+  }
+
+  /** Levels z13 → minZoom from the aggregated tile relation: tile-local
+    * pre-agg (narrow flatMap over the cached TileCells) + ONE groupBy to
+    * merge sibling-tile partials. The z14 layer itself is NOT re-emitted —
+    * it comes narrow from `HeatmapAgg.cellsToPixels`; union the two. */
+  def lowerLevelsFromTiles(tc: Dataset[graft.model.Schemas.TileCells], k: Int,
+                           minZoom: Int = 0,
+                           resolution: Int = graft.raster.Rasterize.Resolution)(
+      implicit spark: SparkSession): Dataset[GlobalPixel] = {
+    import spark.implicits._
+    tc.flatMap(t => localRollup(t.tkey, t.cells, k, minZoom,
+        graft.raster.Rasterize.Zoom, resolution))
+      .groupBy($"z", $"gx", $"gy")
+      .agg(sum($"users").as("users"), sum($"trips").as("trips"))
+      .select($"z", $"gx", $"gy", $"users", $"trips")
+      .as[GlobalPixel]
+  }
+
   /** All levels z14 → minZoom in ONE shuffle: each z14 pixel explodes into
     * its ancestor chain (z, gx >> (14-z), gy >> (14-z)) and a single
     * groupBy sums per (z, gx, gy). Addition is associative, so this is

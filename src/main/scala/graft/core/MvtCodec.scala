@@ -45,10 +45,23 @@ object MvtCodec {
   /** One pixel feature: local pixel coords + the two counters. */
   final case class PixelFeature(px: Int, py: Int, users: Long, trips: Long)
 
-  /** Encode one tile's features into an MVT blob (layer "heatmap"). */
+  /** A feature already placed on the extent grid. */
+  final case class ExtentFeature(ex: Long, ey: Long, users: Long, trips: Long)
+
+  /** Encode with the LINEAR placement (pixel top-left quantized straight to
+    * the extent grid: px·extent/res). Kept as the documented fast path; the
+    * reference-faithful Mercator placement is `MvtJobs.encodeTiles`'
+    * default via WebMercator.extentCoords. */
   def encodeTile(features: Iterable[PixelFeature], resolution: Int,
                  layerName: String = "heatmap"): Array[Byte] = {
     val scale = Extent / resolution // 8 for the service's 512-px tiles
+    encodeTileExtent(features.map(f =>
+      ExtentFeature(f.px.toLong * scale, f.py.toLong * scale, f.users, f.trips)), layerName)
+  }
+
+  /** Encode one tile's placed features into an MVT blob (layer "heatmap"). */
+  def encodeTileExtent(features: Iterable[ExtentFeature],
+                       layerName: String = "heatmap"): Array[Byte] = {
 
     // value table, deduped in first-seen order (uint values, MVT field 5)
     val valueIndex = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
@@ -66,8 +79,8 @@ object MvtCodec {
       // geometry: MoveTo(1,count=1) + zigzag coords (field 4, packed)
       val geomB = new ByteArrayOutputStream()
       VarInt.writeVarUInt(geomB, ((1 << 3) | 1).toLong) // command id 1 (MoveTo), count 1
-      VarInt.writeVarUInt(geomB, VarInt.zigZag(f.px.toLong * scale))
-      VarInt.writeVarUInt(geomB, VarInt.zigZag(f.py.toLong * scale))
+      VarInt.writeVarUInt(geomB, VarInt.zigZag(f.ex))
+      VarInt.writeVarUInt(geomB, VarInt.zigZag(f.ey))
       writeKeyBytes(fb, 4, geomB.toByteArray)
       writeKeyBytes(featBytes, 2, fb.toByteArray) // Layer.features
     }

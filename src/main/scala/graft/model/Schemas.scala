@@ -34,6 +34,21 @@ object Schemas {
     * no per-row boxing in the hot flatMap. */
   final case class PixelVisit(user_id: Long, pkey: Long, trips: Long)
 
+  /** Tile-grain rasterizer emission: one row per (track × touched tile).
+    * tkey = tx << 32 | ty; each pixels element packs localPix << 32 | trips
+    * (x-major localPix = lx·res + ly). The input of the tile-grain
+    * aggregate — ~100× fewer rows than PixelVisit through the exchange. */
+  final case class TileVisit(user_id: Long, tkey: Long, pixels: Array[Long])
+
+  /** One aggregated heatmap cell inside a tile (localPix, distinct users,
+    * trip sum) — the element type of TileUsersAgg's output. */
+  final case class Cell(pix: Int, users: Long, trips: Long)
+
+  /** A fully aggregated z14 tile: every surviving cell with exact
+    * (users, trips) — the post-aggregate, pre-explode relation the flagship
+    * derives both the z14 layer and the pyramid from. */
+  final case class TileCells(tkey: Long, cells: Array[Cell])
+
   /** Global heatmap pixel at one zoom (post count-distinct / rollup). */
   final case class GlobalPixel(z: Int, gx: Long, gy: Long, users: Long, trips: Long)
 

@@ -32,10 +32,19 @@ object MvtJobs {
     }
   }
 
-  def encodeTiles(pixels: Dataset[GlobalPixel], resolution: Int = Resolution)(
+  /** Encode tiles. `mercator = true` (default) reproduces the REFERENCE
+    * STACK's placement byte-for-byte in geometry: linear pixel → lon/lat
+    * (TileGeometryTransform.TransformTo), then the external Mapbox writer's
+    * true-Mercator quantization onto the extent grid
+    * (WebMercator.extentCoords). `mercator = false` is the direct linear
+    * quantization (px·extent/res) — sub-pixel-different in y only
+    * (MvtCodecSpec quantifies the divergence). */
+  def encodeTiles(pixels: Dataset[GlobalPixel], resolution: Int = Resolution,
+                  mercator: Boolean = true)(
       implicit spark: SparkSession): Dataset[MvtTile] = {
     import spark.implicits._
     val res = resolution
+    val useMercator = mercator
     pixels
       .where($"users" > 0)
       .withColumn("tx", $"gx" / res cast "long")
@@ -48,10 +57,15 @@ object MvtJobs {
       .mapGroups { (key: (Int, Long, Long), rows: Iterator[(Int, Long, Long, Int, Int, Long, Long)]) =>
         // deterministic feature order: x-major like the reference's block walk
         // (HeatMapTile.cs:94-112 enumerates pos = x*res + y ascending)
+        val (z, tx, ty) = key
+        val scale = MvtCodec.Extent / res
         val feats = rows.map { case (_, _, _, px, py, users, trips) =>
-          MvtCodec.PixelFeature(px, py, users, trips)
-        }.toArray.sortBy(f => (f.px.toLong * res) + f.py)
-        MvtTile(key._1, key._2, key._3, MvtCodec.encodeTile(feats, res))
+          val (ex, ey) =
+            if (useMercator) graft.core.WebMercator.extentCoords(z, tx, ty, px, py, res, MvtCodec.Extent)
+            else (px.toLong * scale, py.toLong * scale)
+          (px.toLong * res + py, MvtCodec.ExtentFeature(ex, ey, users, trips))
+        }.toArray.sortBy(_._1)
+        MvtTile(z, tx, ty, MvtCodec.encodeTileExtent(feats.map(_._2)))
       }
   }
 }

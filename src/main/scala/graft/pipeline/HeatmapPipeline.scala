@@ -50,7 +50,12 @@ object HeatmapPipeline {
   final case class HeatmapResult(
       userPixels: Dataset[UserPixel],
       z14: Dataset[GlobalPixel],
-      pyramid: Dataset[GlobalPixel])
+      pyramid: Dataset[GlobalPixel],
+      cached: Option[Dataset[_]] = None) {
+    /** Release whatever run() persisted (cache-ownership contract: the
+      * caller that triggered the pipeline owns the cached intermediate). */
+    def release(): Unit = cached.foreach(_.unpersist())
+  }
 
   def run(tracks: Dataset[Track], k: Int = HeatmapAgg.KAnonymity, minZoom: Int = 0)(
       implicit spark: SparkSession): HeatmapResult = {
@@ -59,15 +64,22 @@ object HeatmapPipeline {
     val par = spark.sparkContext.defaultParallelism * 2
     val spread =
       if (tracks.rdd.getNumPartitions < par) tracks.repartition(par) else tracks
-    // single-exchange z14 via the native user-set aggregate (exact distinct;
-    // 10-20% over the countDistinct plan — see HeatmapAggSpec/PlanQualitySpec)
-    val z14 = HeatmapAgg.globalGrainNative(Rasterize.pixelKeys(spread), k)
-    z14.persist()
-    val pyr = Pyramid.allLevels(z14, minZoom)
+    // single-exchange z14 at TILE grain: the exchange carries one compact
+    // buffer per (map partition × tile) instead of millions of pixel rows
+    // (HeatmapAgg.tileCells; equality proven in HeatmapAggSpec). The cached
+    // tile relation then feeds BOTH the z14 layer (narrow explode) and the
+    // pyramid (tile-local pre-agg, ~cells/3 partial rows through one
+    // groupBy) — no per-pixel ancestor-explode shuffle.
+    val tc = HeatmapAgg.tileCells(Rasterize.tileVisits(spread))
+    tc.persist()
+    val z14 = HeatmapAgg.cellsToPixels(tc, k)
+    val pyr =
+      if (minZoom >= Rasterize.Zoom) z14
+      else z14.union(Pyramid.lowerLevelsFromTiles(tc, k, minZoom))
     // user-grain relation exposed for callers that need it (A3 surface);
     // plan-only until acted on
     val up = HeatmapAgg.userGrain(Rasterize.userPixels(spread))
-    HeatmapResult(up, z14, pyr)
+    HeatmapResult(up, z14, pyr, cached = Some(tc))
   }
 
   def mvt(pyramid: Dataset[GlobalPixel])(implicit spark: SparkSession): Dataset[MvtTile] =

@@ -55,6 +55,22 @@ object GraftQueries {
   val KnnQueries: Seq[(Long, Double, Double)] = Seq(
     (1L, 3.5, 50.5), (2L, 4.2, 51.0), (3L, 4.8, 50.2), (4L, 3.1, 51.4))
 
+  /** Fixed path where the q_hm_* queries materialize the rasterizer output
+    * (user_id, pkey, trips). Bresenham itself is not SQL-expressible, but
+    * everything DOWNSTREAM of it is — materializing the narrow stage lets
+    * DuckDB oracle the exact k-anonymity aggregation and pyramid rollup
+    * over the identical rows. Overwritten per invocation (deterministic
+    * content for a given sf dir). */
+  val RasterDumpPath = "/tmp/graft_oracle/raster_pixels.parquet"
+
+  /** Write the raster dump for `d` and return a reader of it. */
+  private def rasterDump(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    graft.raster.Rasterize.pixelKeys(eventTracks(s, d)).toDF()
+      .write.mode("overwrite").parquet(RasterDumpPath)
+    s.read.parquet(RasterDumpPath)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- spatial joins (oracle-matched) ----
     "q_geo_pip_join" -> ((s, d) => {
@@ -88,17 +104,27 @@ object GraftQueries {
         .limit(10)
     }),
 
-    // ---- heatmap pipeline over driver data (rows-only; ScalaTest holds the oracle) ----
+    // ---- heatmap pipeline over driver data ----
+    // z14 layer and pyramid stats are DuckDB-oracled by materializing the
+    // rasterizer output (the only non-SQL-expressible stage) to parquet and
+    // aggregating the identical rows in both engines. The tiled flagship
+    // plan is proven equal to this aggregation in HeatmapAggSpec.
     "q_hm_z14_layer" -> ((s, d) => {
       implicit val sp: SparkSession = s
-      HeatmapPipeline.run(eventTracks(s, d), minZoom = 14).z14.toDF()
+      import sp.implicits._
+      graft.agg.HeatmapAgg.globalGrainFused(
+        rasterDump(s, d).as[graft.model.Schemas.PixelVisit]).toDF()
     }),
 
     "q_hm_pyramid_stats" -> ((s, d) => {
       implicit val sp: SparkSession = s
-      HeatmapPipeline.run(eventTracks(s, d)).pyramid.toDF()
+      import sp.implicits._
+      val z14 = graft.agg.HeatmapAgg.globalGrainFused(
+        rasterDump(s, d).as[graft.model.Schemas.PixelVisit])
+      graft.agg.Pyramid.allLevels(z14).toDF()
         .groupBy(col("z"))
-        .agg(count(lit(1)).as("pixels"), sum(col("users")).as("users"), sum(col("trips")).as("trips"))
+        .agg(count(lit(1)).as("pixels"), sum(col("users")).cast("long").as("users"),
+          sum(col("trips")).cast("long").as("trips"))
     }),
 
     "q_hm_mvt_tiles" -> ((s, d) => {
@@ -253,6 +279,25 @@ object GraftQueries {
       """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
          FROM embeddings WHERE vec_id <> 0
-         ORDER BY sim DESC, vec_id LIMIT 10"""
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+    "q_hm_z14_layer" ->
+      s"""SELECT CAST(14 AS INTEGER) AS z, pkey >> 32 AS gx, pkey & 4294967295 AS gy,
+                 count(DISTINCT user_id) AS users, CAST(sum(trips) AS BIGINT) AS trips
+          FROM read_parquet('$RasterDumpPath/*.parquet')
+          GROUP BY pkey HAVING count(DISTINCT user_id) >= 3""",
+    "q_hm_pyramid_stats" ->
+      s"""WITH z14 AS (
+            SELECT pkey >> 32 AS gx, pkey & 4294967295 AS gy,
+                   count(DISTINCT user_id) AS users, CAST(sum(trips) AS BIGINT) AS trips
+            FROM read_parquet('$RasterDumpPath/*.parquet')
+            GROUP BY pkey HAVING count(DISTINCT user_id) >= 3),
+          rolled AS (
+            SELECT t.z AS z, gx >> (14 - t.z) AS rgx, gy >> (14 - t.z) AS rgy,
+                   CAST(sum(users) AS BIGINT) AS users, CAST(sum(trips) AS BIGINT) AS trips
+            FROM z14 CROSS JOIN (SELECT CAST(range AS INTEGER) AS z FROM range(0, 15)) t
+            GROUP BY 1, 2, 3)
+          SELECT z, count(*) AS pixels, CAST(sum(users) AS BIGINT) AS users,
+                 CAST(sum(trips) AS BIGINT) AS trips
+          FROM rolled GROUP BY z"""
   )
 }

@@ -22,6 +22,10 @@ object Sessions {
       .appName(app)
       .config("spark.sql.shuffle.partitions", cpus.toString)
     val spark = scratchDir.fold(builder0)(d => builder0.config("spark.local.dir", d))
+      // keep TypedImperativeAggregate partials in the hash path (the default
+      // 128-key threshold would force a sort-based fallback for tile/pixel
+      // grain keys); buffers are compact, so 4096 keys fit trivially
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,6 +1,6 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Stage-level wall-clock profile of the FUSED flagship pipeline:
+/** Stage-level wall-clock profile of the TILED flagship pipeline:
   * sbt "runMain graft.tools.FlagshipProfile <cpus> [sfDir] [reps]" */
 object FlagshipProfile {
   def main(args: Array[String]): Unit = {
@@ -16,18 +16,26 @@ object FlagshipProfile {
     }
     (1 to reps).foreach { rep =>
       println(s"[profile] --- rep $rep cpus=$cpus ---")
-      val tracks = graft.queries.GraftQueries.eventTracks(spark, sfDir)
-      val raster = graft.raster.Rasterize.pixelKeys(tracks)
-      time("raster only (narrow)")(raster.count())
-      val z14 = graft.agg.HeatmapAgg.globalGrainFused(raster)
-      z14.persist()
-      val nZ14 = time("raster+fused z14")(z14.count())
-      val pyr = graft.agg.Pyramid.allLevels(z14)
-      pyr.persist()
-      val nPyr = time("pyramid explode-agg")(pyr.count())
-      val nMvt = time("mvt encode")(graft.pipeline.HeatmapPipeline.mvt(pyr).count())
-      println(s"[profile] rows: z14=$nZ14 pyramid=$nPyr mvt=$nMvt")
-      z14.unpersist(); pyr.unpersist()
+      val tracks =
+        if (sfDir.startsWith("direct:"))
+          graft.pipeline.HeatmapPipeline.tracksDirect(sfDir.stripPrefix("direct:").toLong)
+        else graft.queries.GraftQueries.eventTracks(spark, sfDir)
+      val par = spark.sparkContext.defaultParallelism * 2
+      val spread = if (tracks.rdd.getNumPartitions < par) tracks.repartition(par) else tracks
+      val tv = graft.raster.Rasterize.tileVisits(spread)
+      time("raster tileVisits")(tv.count())
+      val tc = graft.agg.HeatmapAgg.tileCells(tv)
+      tc.persist()
+      val nTiles = time("tile-grain agg")(tc.count())
+      val z14 = graft.agg.HeatmapAgg.cellsToPixels(tc)
+      val nZ14 = time("z14 explode (narrow)")(z14.count())
+      val lower = graft.agg.Pyramid.lowerLevelsFromTiles(tc, graft.agg.HeatmapAgg.KAnonymity)
+      lower.persist()
+      val nLower = time("pyramid local+merge")(lower.count())
+      val nMvt = time("mvt encode")(
+        graft.pipeline.HeatmapPipeline.mvt(z14.union(lower)).count())
+      println(s"[profile] rows: tiles=$nTiles z14=$nZ14 lower=$nLower mvt=$nMvt")
+      tc.unpersist(); lower.unpersist()
     }
     spark.stop()
   }

@@ -40,6 +40,89 @@ class HeatmapAggSpec extends AnyFunSuite {
     assert(native === fused)
   }
 
+  test("tile-grain TileUsersAgg plan == fused count-distinct plan (the flagship path)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val tracks = s.createDataset((0L until 250L).map { i =>
+      val ph = ImageSynth.phashOf(i)
+      Track(i, TraceSynth.userOf(ph, 8), TraceSynth.trace(ph))
+    })
+    val fused = HeatmapAgg.globalGrainFused(Rasterize.pixelKeys(tracks)).collect()
+      .map(p => ((p.z, p.gx, p.gy), (p.users, p.trips))).toMap
+    val tiled = HeatmapAgg.globalGrainTiled(Rasterize.tileVisits(tracks)).collect()
+      .map(p => ((p.z, p.gx, p.gy), (p.users, p.trips))).toMap
+    assert(fused.nonEmpty)
+    assert(tiled === fused)
+  }
+
+  test("TileBuffer kernel: dedup, merge, zero user id, serialization round-trip") {
+    val a = new graft.functions.TileBuffer()
+    a.addRow(0L, Array((7L << 32) | 3L, (9L << 32) | 1L)) // user 0: pix 7 (+3), pix 9 (+1)
+    a.addRow(1L, Array((7L << 32) | 2L))                  // user 1: pix 7 (+2)
+    a.addRow(0L, Array((7L << 32) | 5L))                  // user 0 again: no new distinct
+    val b = new graft.functions.TileBuffer()
+    b.addRow(2L, Array((7L << 32) | 1L, (11L << 32) | 4L))
+    val ser = graft.functions.TileBuffer.deserialize(b.serialize())
+    a.mergeFrom(ser)
+    val cells = a.cells().map(c => c._1 -> ((c._2, c._3))).toMap
+    assert(cells === Map(7 -> ((3L, 11L)), 9 -> ((1L, 1L)), 11 -> ((1L, 4L))))
+    // sorted by pix
+    assert(a.cells().map(_._1).toSeq === Seq(7, 9, 11))
+  }
+
+  test("tileVisits: packed runs reproduce pixelKeys exactly") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val tracks = s.createDataset((0L until 50L).map { i =>
+      val ph = ImageSynth.phashOf(i)
+      Track(i, TraceSynth.userOf(ph, 8), TraceSynth.trace(ph))
+    })
+    val res = Rasterize.Resolution
+    val fromTiles = Rasterize.tileVisits(tracks).collect()
+      .flatMap { tv =>
+        val tx = tv.tkey >>> 32; val ty = tv.tkey & 0xFFFFFFFFL
+        tv.pixels.map { p =>
+          val pix = p >>> 32; val trips = p & 0xFFFFFFFFL
+          ((tv.user_id, tx * res + pix / res, ty * res + pix % res), trips)
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val fromPixels = Rasterize.pixelKeys(tracks).collect()
+      .map(v => ((v.user_id, v.pkey >>> 32, v.pkey & 0xFFFFFFFFL), v.trips))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(fromPixels.nonEmpty)
+    assert(fromTiles === fromPixels)
+  }
+
+  test("library-default 1024-px resolution (HeatMap.cs:23): tiled == fused, nothing baked to 512") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val tracks = s.createDataset((0L until 150L).map { i =>
+      val ph = ImageSynth.phashOf(i)
+      Track(i, TraceSynth.userOf(ph, 8), TraceSynth.trace(ph))
+    })
+    val res = 1024
+    val fused = HeatmapAgg.globalGrainFused(Rasterize.pixelKeys(tracks, resolution = res)).collect()
+      .map(p => ((p.gx, p.gy), (p.users, p.trips))).toMap
+    val tiled = HeatmapAgg.globalGrainTiled(
+        Rasterize.tileVisits(tracks, resolution = res), resolution = res).collect()
+      .map(p => ((p.gx, p.gy), (p.users, p.trips))).toMap
+    assert(fused.nonEmpty)
+    assert(tiled === fused)
+    // 1024-grain coordinates really are finer: twice the 512-grain extent
+    assert(fused.keys.map(_._1).max > 512L * 8390)
+    // and the pyramid rollup holds at 1024 too (local rollup vs explode)
+    val z14 = HeatmapAgg.globalGrainTiled(
+      Rasterize.tileVisits(tracks, resolution = res), resolution = res)
+    val viaTiles = z14.toDF().unionByName(
+      Pyramid.lowerLevelsFromTiles(HeatmapAgg.tileCells(
+        Rasterize.tileVisits(tracks, resolution = res)), HeatmapAgg.KAnonymity,
+        resolution = res).toDF())
+      .collect().map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4)))).toMap
+    val viaExplode = Pyramid.allLevels(z14).collect()
+      .map(p => ((p.z, p.gx, p.gy), (p.users, p.trips))).toMap
+    assert(viaTiles === viaExplode)
+  }
+
   test("native aggregate handles user_id 0 and null-free paths correctly") {
     implicit val s: SparkSession = spark
     import s.implicits._

@@ -31,4 +31,52 @@ class MvtCodecSpec extends AnyFunSuite {
     assert(s.contains("heatmap"))
     assert(s.contains("users") && s.contains("trips"))
   }
+
+  test("byte-level golden fixture (hand-derived from the MVT v2.1 spec)") {
+    // One Point feature at extent (80, 160) with users=5, trips=99. Every
+    // byte below was derived BY HAND from the published protobuf wire format
+    // + vector_tile.proto field numbers (github.com/mapbox/vector-tile-spec),
+    // independently of the encoder under test:
+    //   tile: field3 len-delim (layer, 53 bytes)
+    //   layer: version(15)=2, name(1)="heatmap", feature(2):
+    //     tags(2)=[0,0,1,1], type(3)=POINT,
+    //     geom(4)=[MoveTo(1,1), zigzag(80)=160, zigzag(160)=320]
+    //   keys(3)="users","trips"; values(4)={uint(5)}, {uint(99)}; extent(5)=4096
+    val golden = Array(
+      0x1A, 0x35,
+      0x78, 0x02,
+      0x0A, 0x07, 'h', 'e', 'a', 't', 'm', 'a', 'p',
+      0x12, 0x0F,
+      0x12, 0x04, 0x00, 0x00, 0x01, 0x01,
+      0x18, 0x01,
+      0x22, 0x05, 0x09, 0xA0, 0x01, 0xC0, 0x02,
+      0x1A, 0x05, 'u', 's', 'e', 'r', 's',
+      0x1A, 0x05, 't', 'r', 'i', 'p', 's',
+      0x22, 0x02, 0x28, 0x05,
+      0x22, 0x02, 0x28, 0x63,
+      0x28, 0x80, 0x20).map(_.toByte)
+    val got = MvtCodec.encodeTileExtent(Seq(MvtCodec.ExtentFeature(80, 160, 5, 99)))
+    assert(got.toSeq === golden.toSeq)
+  }
+
+  test("mercator placement: x sub-unit off linear, y sub-pixel off linear, 0 at tile top") {
+    val res = 512
+    // Brussels-area z14 tile + a far-north tile (worst-case Mercator stretch)
+    for ((z, tx, ty) <- Seq((14, 8389L, 5488L), (14, 8389L, 2500L), (8, 131L, 85L))) {
+      for (px <- Seq(0, 1, 100, 255, 511); py <- Seq(0, 1, 100, 255, 511)) {
+        val (ex, ey) = graft.core.WebMercator.extentCoords(z, tx, ty, px, py, res, MvtCodec.Extent)
+        // x is mathematically linear; fp truncation ((int) cast in the
+        // external writer, reproduced here) may knock it one unit down
+        assert(math.abs(ex - px.toLong * 8) <= 1, s"x at ($px,$py): $ex")
+        // at z14 the tile lat-span is tiny → divergence stays sub-pixel;
+        // low-zoom tiles span degrees of latitude, so the linear-vs-mercator
+        // gap legitimately grows to a few pixels (reference behavior too)
+        val dy = math.abs(ey - py.toLong * 8)
+        val bound = if (z >= 14) 8 else 32
+        assert(dy < bound, s"y divergence $dy ≥ $bound at ($px,$py) of ($z,$tx,$ty)")
+        if (px == 0) assert(ex === 0L, "tile left edge must map to extent 0")
+        if (py == 0) assert(ey === 0L, "tile top edge must map to extent 0")
+      }
+    }
+  }
 }

@@ -81,11 +81,23 @@ class HeatmapPipelineSpec extends AnyFunSuite {
       val feats = MvtCodec.decodeTile(t.mvt)
       assert(feats.nonEmpty) // empty tiles must not be emitted (F6)
       feats.foreach { case (ex, ey, users, trips) =>
-        assert(ex % 8 === 0 && ey % 8 === 0)
-        val gx = t.tx * res + ex / 8
-        val gy = t.ty * res + ey / 8
+        // reference-stack placement: linear pixel→lon/lat then Mercator
+        // quantization — both coords land sub-pixel off the linear grid;
+        // recover the pixel by nearest-grid rounding
+        val px = math.round(ex / 8.0)
+        val py = math.round(ey / 8.0)
+        assert(math.abs(ex - px * 8) <= 1)
+        assert(math.abs(ey - py * 8) < 8, s"y not sub-pixel: $ey vs ${py * 8}")
+        val gx = t.tx * res + px
+        val gy = t.ty * res + py
         assert(oracleZ14.get((gx, gy)).contains((users, trips)),
           s"tile (${t.tx},${t.ty}) pixel ($gx,$gy)")
+        // and the placement is EXACTLY the two-step reference transform
+        assert((ex, ey) === {
+          val (a, b) = graft.core.WebMercator.extentCoords(
+            14, t.tx, t.ty, px.toInt, py.toInt, res, MvtCodec.Extent)
+          (a, b)
+        })
       }
     }
     // feature counts must cover every oracle pixel

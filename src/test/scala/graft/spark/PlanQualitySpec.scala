@@ -65,6 +65,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges === 1, plan)
   }
 
+  test("tile-grain aggregate: ONE exchange, keyed by tile not pixel") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val tiles = graft.raster.Rasterize.tileVisits(
+      s.createDataset(Seq(graft.model.Schemas.Track(1, 1,
+        Array(Array(4.35, 50.85), Array(4.351, 50.851))))))
+    val plan = physical(graft.agg.HeatmapAgg.globalGrainTiled(tiles).toDF())
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, plan)
+    assert(plan.contains("tile_users"), plan)
+    assert(plan.contains("hashpartitioning(tkey"), plan)
+  }
+
   test("pyramid: ONE exchange for all 15 levels") {
     implicit val s: SparkSession = spark
     import s.implicits._
