@@ -55,6 +55,14 @@ object GraftQueries {
   val KnnQueries: Seq[(Long, Double, Double)] = Seq(
     (1L, 3.5, 50.5), (2L, 4.2, 51.0), (3L, 4.8, 50.2), (4L, 3.1, 51.4))
 
+  /** Deterministic z14 tile cover of TestRegions — shared by the overlay
+    * query (Spark side) and its oracle SQL (as embedded VALUES). */
+  lazy val RegionCoverTiles: Seq[(Long, Long, Long)] = TestRegions
+    .flatMap(r => SpatialJoins.coverCells(r).map { case (id, cell) =>
+      val (tx, ty) = graft.core.Slippy.toTile(SpatialJoins.CellZoom, cell)
+      (id, tx, ty)
+    })
+
   /** Fixed path where the q_hm_* queries materialize the rasterizer output
     * (user_id, pkey, trips). Bresenham itself is not SQL-expressible, but
     * everything DOWNSTREAM of it is — materializing the narrow stage lets
@@ -134,21 +142,31 @@ object GraftQueries {
         .select(col("z"), col("tx"), col("ty"), length(col("mvt")).as("mvt_bytes"))
     }),
 
+    // raster↔vector overlay, DuckDB-oracled: the heat side reads the
+    // materialized raster dump; the vector side's z14 cover cells are
+    // deterministic constants embedded in the oracle SQL as VALUES
     "q_geo_overlay" -> ((s, d) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      val heat = HeatmapPipeline.run(eventTracks(s, d), minZoom = 14).z14.toDF()
-      // vector side: region-boundary cells as pixel rows at z14 grain
-      val regionPixels = TestRegions
-        .flatMap(r => SpatialJoins.coverCells(r).map { case (id, cell) =>
-          val (tx, ty) = graft.core.Slippy.toTile(SpatialJoins.CellZoom, cell)
-          (id, tx, ty)
-        }).toDF("region_id", "tx", "ty")
-      heat.withColumn("tx", (col("gx") / 512).cast("long"))
-        .withColumn("ty", (col("gy") / 512).cast("long"))
-        .join(regionPixels, Seq("tx", "ty"))
+      val heat = graft.agg.HeatmapAgg.globalGrainFused(
+        rasterDump(s, d).as[graft.model.Schemas.PixelVisit]).toDF()
+      val regionPixels = RegionCoverTiles.toDF("region_id", "tx", "ty")
+      heat.withColumn("tx", shiftright(col("gx"), 9))
+        .withColumn("ty", shiftright(col("gy"), 9))
+        .join(broadcast(regionPixels), Seq("tx", "ty"))
         .groupBy(col("region_id"))
-        .agg(count(lit(1)).as("pixels"), sum(col("trips")).as("trips"))
+        .agg(count(lit(1)).as("pixels"), sum(col("trips")).cast("long").as("trips"))
+    }),
+
+    // the input_hint-shaped path end-to-end: Iceberg-shaped image+caption
+    // rows → derived tracks → tiled heatmap (rows-only; every stage is
+    // exactness-tested in HeatmapPipelineSpec/ImageSynthSpec)
+    "q_hm_from_images" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val tracks = HeatmapPipeline.tracks(HeatmapPipeline.images(2000))
+      HeatmapPipeline.run(tracks).pyramid.toDF()
+        .groupBy(col("z"))
+        .agg(count(lit(1)).as("pixels"), sum(col("trips")).cast("long").as("trips"))
     }),
 
     // ---- hash dedup (rows-only; kernels exactness-tested in ScalaTest) ----
@@ -298,6 +316,20 @@ object GraftQueries {
             GROUP BY 1, 2, 3)
           SELECT z, count(*) AS pixels, CAST(sum(users) AS BIGINT) AS users,
                  CAST(sum(trips) AS BIGINT) AS trips
-          FROM rolled GROUP BY z"""
+          FROM rolled GROUP BY z""",
+    "q_geo_overlay" -> {
+      val values = RegionCoverTiles
+        .map { case (id, tx, ty) => s"($id, $tx, $ty)" }.mkString(", ")
+      s"""WITH z14 AS (
+            SELECT pkey >> 32 AS gx, pkey & 4294967295 AS gy,
+                   CAST(sum(trips) AS BIGINT) AS trips
+            FROM read_parquet('$RasterDumpPath/*.parquet')
+            GROUP BY pkey HAVING count(DISTINCT user_id) >= 3),
+          cells(region_id, tx, ty) AS (VALUES $values)
+          SELECT CAST(region_id AS BIGINT) AS region_id, count(*) AS pixels,
+                 CAST(sum(trips) AS BIGINT) AS trips
+          FROM z14 JOIN cells ON (gx >> 9) = tx AND (gy >> 9) = ty
+          GROUP BY 1"""
+    }
   )
 }
