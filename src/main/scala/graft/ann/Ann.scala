@@ -96,6 +96,94 @@ object Ann {
       .where($"sim" >= threshold)
   }
 
+  // -- IVF (inverted-file) coarse index ---------------------------------------
+
+  /** Cosine similarity of a Float vector vs a Double centroid (kernel). */
+  def cosineKernel(v: Array[Float], c: Array[Double]): Double = {
+    var dot = 0.0; var nv = 0.0; var nc = 0.0
+    var i = 0
+    while (i < v.length) {
+      dot += v(i) * c(i); nv += v(i).toDouble * v(i); nc += c(i) * c(i)
+      i += 1
+    }
+    if (nv == 0 || nc == 0) -1.0 else dot / (math.sqrt(nv) * math.sqrt(nc))
+  }
+
+  /** Index of the most-cosine-similar centroid. */
+  def nearestList(v: Array[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val s = cosineKernel(v, centroids(c))
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic IVF training: k-means on cosine geometry. Init = the
+    * nLists vectors with smallest mix64(vec_id) (seeded, executor-order
+    * independent); each iteration assigns every vector to its nearest
+    * centroid (narrow map over a broadcast centroid table) and recomputes
+    * means with one dim-exploded aggregation. Centroid count is tiny
+    * (≤ thousands), so the driver-side table is a legitimate broadcast. */
+  def ivfCentroids(emb: DataFrame, nLists: Int = 16, iters: Int = 3)(
+      implicit spark: SparkSession): Array[Array[Double]] = {
+    import spark.implicits._
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+    var centroids: Array[Array[Double]] = vecs
+      .map { case (id, v) => (mix64(id), v) }
+      .orderBy($"_1").limit(nLists)
+      .collect().map(_._2.map(_.toDouble))
+    (1 to iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(centroids)
+      val sums = vecs
+        .map { case (_, v) => (nearestList(v, bc.value), v.map(_.toDouble)) }
+        .toDF("list_id", "v")
+        .select(col("list_id"), posexplode(col("v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next // empty lists keep their previous centroid
+    }
+    centroids
+  }
+
+  /** vec_id → IVF list assignment (at cluster scale: the write-partition /
+    * bucket key of the index table, so a probe prunes to nProbe lists). */
+  def ivfAssign(emb: DataFrame, centroids: Array[Array[Double]])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearestList(v, bc.value)) }
+      .toDF("vec_id", "list_id")
+  }
+
+  /** IVF top-k: probe the query's nProbe nearest lists, exact cosine inside.
+    * nProbe == nLists degenerates to the exact scan (oracle-able); smaller
+    * nProbe trades recall for scanning only ~nProbe/nLists of the table. */
+  def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int, nProbe: Int = 4,
+              nLists: Int = 16, iters: Int = 3)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val centroids = ivfCentroids(emb, nLists, iters)
+    val q = emb.where(col("vec_id") === queryVecId)
+      .select("embedding").as[Array[Float]].head()
+    val probes = centroids.indices
+      .sortBy(c => -cosineKernel(q, centroids(c))).take(nProbe).toSet
+    val assigned = ivfAssign(emb, centroids)
+    emb.join(assigned, "vec_id")
+      .where(col("list_id").isin(probes.toSeq: _*) && col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(emb.where(col("vec_id") === queryVecId)
+        .select(asDouble(col("embedding")).as("q_emb"))))
+      .select(col("vec_id"), cosineCol(asDouble(col("embedding")), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact brute-force near-dup pairs (oracle for the LSH recall tests). */
   def exactNearDupPairs(emb: DataFrame, threshold: Double)(
       implicit spark: SparkSession): DataFrame = {

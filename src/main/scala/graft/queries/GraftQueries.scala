@@ -112,6 +112,14 @@ object GraftQueries {
         .limit(10)
     }),
 
+    // IVF scale path at full probe: must return exactly the brute-force
+    // top-k (DuckDB-oracled); the recall/pruning trade-off is AnnSpec-gated
+    "q_ann_ivf_topk" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Ann.ivfTopK(embeddings(s, d), 0L, 10, nProbe = 16, nLists = 16)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    }),
+
     // ---- heatmap pipeline over driver data ----
     // z14 layer and pyramid stats are DuckDB-oracled by materializing the
     // rasterizer output (the only non-SQL-expressible stage) to parquet and
@@ -294,6 +302,11 @@ object GraftQueries {
                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
          FROM embeddings WHERE vec_id <> 0""",
     "q_ann_topk" ->
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+         FROM embeddings WHERE vec_id <> 0
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+    "q_ann_ivf_topk" ->
       """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
          FROM embeddings WHERE vec_id <> 0

@@ -71,6 +71,26 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall")
   }
 
+  test("IVF: full probe equals brute force exactly; partial probe has high recall") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val df = vecs(400, 16).toDF("vec_id", "embedding")
+    val exact = Ann.bruteForceTopK(df, 0L, 10).as[(Long, Double)].collect().toSeq
+    // nProbe == nLists scans every list → must equal the exact scan
+    val full = Ann.ivfTopK(df, 0L, 10, nProbe = 16, nLists = 16).as[(Long, Double)].collect().toSeq
+    assert(full.map(_._1) === exact.map(_._1))
+    full.zip(exact).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+    // partial probe: scan ~1/4 of the lists, keep most of the true top-k
+    val partial = Ann.ivfTopK(df, 0L, 10, nProbe = 4, nLists = 16).as[(Long, Double)].collect()
+    val recall = partial.map(_._1).toSet.intersect(exact.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.7, s"IVF recall $recall")
+    // assignments partition the table (every vector in exactly one list)
+    val cents = Ann.ivfCentroids(df, 16, 3)
+    val assigned = Ann.ivfAssign(df, cents)
+    assert(assigned.count() === 400)
+    assert(assigned.select("list_id").distinct().count() <= 16)
+  }
+
   test("bucket cap bounds a degenerate embedding cluster; drops are observed") {
     implicit val s: SparkSession = spark
     import s.implicits._
