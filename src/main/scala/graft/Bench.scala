@@ -23,7 +23,7 @@ object Bench {
         graft.pipeline.HeatmapPipeline.tracksDirect(input.stripPrefix("direct:").toLong)
       else graft.queries.GraftQueries.eventTracks(spark, input)
     val result = graft.pipeline.HeatmapPipeline.run(tracks)
-    val tiles = graft.pipeline.HeatmapPipeline.mvt(result.pyramid).count()
+    val tiles = graft.pipeline.HeatmapPipeline.mvtAll(result).count()
     val secs = (System.nanoTime() - t0) / 1e9
     result.release()
     (tiles, secs)

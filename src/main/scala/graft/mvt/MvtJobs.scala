@@ -32,6 +32,33 @@ object MvtJobs {
     }
   }
 
+  /** z14 MVTs straight from the aggregated tile relation — NARROW: a tile
+    * row already holds its cells sorted by pix (x-major, the reference's
+    * block-walk order), so no exchange is needed at all. Byte-identical to
+    * routing the same pixels through `encodeTiles` (HeatmapPipelineSpec). */
+  def encodeZ14FromTileCells(tc: Dataset[graft.model.Schemas.TileCells], k: Int,
+                             resolution: Int = Resolution, mercator: Boolean = true)(
+      implicit spark: SparkSession): Dataset[MvtTile] = {
+    import spark.implicits._
+    val res = resolution
+    val useMercator = mercator
+    val zoom = graft.raster.Rasterize.Zoom
+    val scale = MvtCodec.Extent / res
+    tc.flatMap { t =>
+      val tx = t.tkey >>> 32
+      val ty = t.tkey & 0xFFFFFFFFL
+      val feats = t.cells.iterator.filter(_.users >= k).map { c =>
+        val (ex, ey) =
+          if (useMercator)
+            graft.core.WebMercator.extentCoords(zoom, tx, ty, c.pix / res, c.pix % res, res, MvtCodec.Extent)
+          else ((c.pix / res).toLong * scale, (c.pix % res).toLong * scale)
+        MvtCodec.ExtentFeature(ex, ey, c.users, c.trips)
+      }.toArray
+      if (feats.isEmpty) Iterator.empty
+      else Iterator.single(MvtTile(zoom, tx, ty, MvtCodec.encodeTileExtent(feats)))
+    }
+  }
+
   /** Encode tiles. `mercator = true` (default) reproduces the REFERENCE
     * STACK's placement byte-for-byte in geometry: linear pixel → lon/lat
     * (TileGeometryTransform.TransformTo), then the external Mapbox writer's

@@ -51,7 +51,8 @@ object HeatmapPipeline {
       userPixels: Dataset[UserPixel],
       z14: Dataset[GlobalPixel],
       pyramid: Dataset[GlobalPixel],
-      cached: Option[Dataset[_]] = None) {
+      cached: Option[Dataset[TileCells]] = None,
+      k: Int = HeatmapAgg.KAnonymity) {
     /** Release whatever run() persisted (cache-ownership contract: the
       * caller that triggered the pipeline owns the cached intermediate). */
     def release(): Unit = cached.foreach(_.unpersist())
@@ -79,9 +80,24 @@ object HeatmapPipeline {
     // user-grain relation exposed for callers that need it (A3 surface);
     // plan-only until acted on
     val up = HeatmapAgg.userGrain(Rasterize.userPixels(spread))
-    HeatmapResult(up, z14, pyr, cached = Some(tc))
+    HeatmapResult(up, z14, pyr, cached = Some(tc), k = k)
   }
 
   def mvt(pyramid: Dataset[GlobalPixel])(implicit spark: SparkSession): Dataset[MvtTile] =
     MvtJobs.encodeTiles(pyramid)
+
+  /** MVT export of the full pyramid, shuffle-lean: z14 tiles encode NARROW
+    * from the cached tile relation (their cells are already grouped and
+    * sorted); only the lower levels (~25 % of rows) go through the tile
+    * exchange. Byte-equal to `mvt(pyramid)` (HeatmapPipelineSpec). */
+  def mvtAll(result: HeatmapResult)(implicit spark: SparkSession): Dataset[MvtTile] = {
+    import spark.implicits._
+    result.cached match {
+      case Some(tc) =>
+        MvtJobs.encodeZ14FromTileCells(tc, result.k)
+          .union(MvtJobs.encodeTiles(
+            result.pyramid.where($"z" < Rasterize.Zoom)))
+      case None => mvt(result.pyramid)
+    }
+  }
 }

@@ -24,7 +24,7 @@ object HeatmapDemo {
     val images = HeatmapPipeline.images(n)
     val tracks = HeatmapPipeline.tracks(images)
     val result = HeatmapPipeline.run(tracks, k)
-    val tiles = HeatmapPipeline.mvt(result.pyramid)
+    val tiles = HeatmapPipeline.mvtAll(result)
 
     tiles.persist()
     tiles.write.mode("overwrite").partitionBy("z").parquet(s"$outDir/tiles")

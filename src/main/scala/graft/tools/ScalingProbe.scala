@@ -29,7 +29,7 @@ object ScalingProbe {
         graft.pipeline.HeatmapPipeline.tracksDirect(sfDir.stripPrefix("direct:").toLong)
       else graft.queries.GraftQueries.eventTracks(spark, sfDir)
     val result = graft.pipeline.HeatmapPipeline.run(tracks)
-    val tiles = graft.pipeline.HeatmapPipeline.mvt(result.pyramid).count()
+    val tiles = graft.pipeline.HeatmapPipeline.mvtAll(result).count()
     val secs = (System.nanoTime() - t0) / 1e9
     result.release()
     (tiles, secs)

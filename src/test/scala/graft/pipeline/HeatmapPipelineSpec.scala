@@ -105,6 +105,19 @@ class HeatmapPipelineSpec extends AnyFunSuite {
     assert(totalFeats === oracleZ14.size)
   }
 
+  test("mvtAll (narrow z14 from tile cells) is byte-equal to mvt(pyramid)") {
+    implicit val s: SparkSession = spark
+    val viaPyramid = HeatmapPipeline.mvt(result.pyramid).collect()
+      .map(t => ((t.z, t.tx, t.ty), t.mvt.toSeq)).toMap
+    val viaTiles = HeatmapPipeline.mvtAll(result).collect()
+      .map(t => ((t.z, t.tx, t.ty), t.mvt.toSeq)).toMap
+    assert(viaPyramid.nonEmpty)
+    assert(viaTiles.keySet === viaPyramid.keySet)
+    viaTiles.foreach { case (key, bytes) =>
+      assert(bytes === viaPyramid(key), s"tile $key bytes differ")
+    }
+  }
+
   test("MVT filesystem sink writes the reference's {z}/{x}/{y}.mvt layout") {
     implicit val s: SparkSession = spark
     val out = java.nio.file.Files.createTempDirectory("mvt-sink").toString
