@@ -102,12 +102,15 @@ final class TileBuffer {
   def addRow(user: Long, packed: Array[Long]): Unit = {
     var i = 0
     while (i < packed.length) {
-      val pix = (packed(i) >>> 32).toInt
-      val t = packed(i) & 0xFFFFFFFFL
-      addTrips(pix, t)
-      addPair(pix, user)
+      addPacked(user, packed(i))
       i += 1
     }
+  }
+
+  @inline def addPacked(user: Long, el: Long): Unit = {
+    val pix = (el >>> 32).toInt
+    addTrips(pix, el & 0xFFFFFFFFL)
+    addPair(pix, user)
   }
 
   def mergeFrom(other: TileBuffer): Unit = {
@@ -198,8 +201,17 @@ case class TileUsersAgg(
   override def update(buf: TileBuffer, input: InternalRow): TileBuffer = {
     val u = userCol.eval(input)
     val p = pixelsCol.eval(input)
-    if (u != null && p != null)
-      buf.addRow(u.asInstanceOf[Long], p.asInstanceOf[ArrayData].toLongArray())
+    if (u != null && p != null) {
+      val user = u.asInstanceOf[Long]
+      val ad = p.asInstanceOf[ArrayData]
+      // iterate in place — toLongArray would copy the run per input row
+      val n = ad.numElements()
+      var i = 0
+      while (i < n) {
+        buf.addPacked(user, ad.getLong(i))
+        i += 1
+      }
+    }
     buf
   }
 

@@ -28,6 +28,9 @@ object HeatmapDemo {
 
     tiles.persist()
     tiles.write.mode("overwrite").partitionBy("z").parquet(s"$outDir/tiles")
+    // the reference's on-disk layout, decodable by the independent
+    // python decoder: tools/decode_mvt.py --tree <outDir>/mvt
+    graft.mvt.MvtJobs.writeMvtFiles(tiles, s"$outDir/mvt")
 
     // an all-filtered run writes an empty dir (only _SUCCESS) — parquet
     // schema inference would fail on readback, so count the Dataset itself
