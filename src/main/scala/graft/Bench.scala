@@ -94,8 +94,12 @@ object Bench {
     // raw-CPU microbench scales perfectly to 32; memory-touching work does
     // not — a single-box artifact a multi-node cluster doesn't share). The
     // saturated 8→32 pair is also measured and reported, not hidden.
-    val input = s"direct:${4 * nEvents}"
-    val (tpsLow, _, secsLow) = flagshipTilesPerSec(2, input, reps = 3)
+    // 6× input: long enough stages that the ~2.3 s fixed per-run cost and
+    // the VM's 2-3× stage jitter stop dominating the ratio. The 2-core
+    // level skips the dedicated warmup — a ~90 s run JIT-warms itself and
+    // best-of-3 discards the cold first rep.
+    val input = s"direct:${6 * nEvents}"
+    val (tpsLow, _, secsLow) = flagshipTilesPerSec(2, input, warmups = 0, reps = 3)
     val (tpsMid, _, secsMid) = flagshipTilesPerSec(8, input, reps = 3)
     val (tpsHigh, tiles, secsHigh) = flagshipTilesPerSec(cpus, input)
     val efficiency = (tpsMid / tpsLow) / (8.0 / 2.0)

@@ -106,38 +106,58 @@ object Incremental {
     // splice z14: keep clean tiles, replace dirty ones
     val oldGlobal = store.read("global", Some(globalSchema))
     val oldZ14 = oldGlobal.map(_.where(col("z") === 14)).getOrElse(emptyGlobal)
-    var level = oldZ14
+    val splicedZ14 = oldZ14
       .withColumn("tx", tileOf(col("gx"))).withColumn("ty", tileOf(col("gy")))
       .join(broadcast(dirty), Seq("tx", "ty"), "left_anti")
       .drop("tx", "ty")
       .unionByName(dirtyZ14)
       .localCheckpoint(false)
 
-    // 5. ancestor rollup: recompute dirty parents per level from the child level
-    var newGlobal = level
-    var dirtySetZ = dirtySet
-    var z = 14
-    while (z > 0) {
-      dirtySetZ = dirtySetZ.map { case (tx, ty) => (tx / 2, ty / 2) }
-      val parentDirty = dirtyDf(dirtySetZ)
-      val recomputed = level
-        .withColumn("pgx", shiftright(col("gx"), 1)).withColumn("pgy", shiftright(col("gy"), 1))
-        .withColumn("tx", tileOf(col("pgx"))).withColumn("ty", tileOf(col("pgy")))
-        .join(broadcast(parentDirty), Seq("tx", "ty"), "left_semi")
-        .groupBy(col("pgx").as("gx"), col("pgy").as("gy"))
-        .agg(sum("users").as("users"), sum("trips").as("trips"))
-        .select(lit(z - 1).as("z"), col("gx"), col("gy"), col("users"), col("trips"))
-      val oldLevel = oldGlobal.map(_.where(col("z") === z - 1)).getOrElse(emptyGlobal)
-      val spliced = oldLevel
-        .withColumn("tx", tileOf(col("gx"))).withColumn("ty", tileOf(col("gy")))
-        .join(broadcast(parentDirty), Seq("tx", "ty"), "left_anti")
-        .drop("tx", "ty")
-        .unionByName(recomputed)
-      val mat = spliced.localCheckpoint(false)
-      newGlobal = newGlobal.unionByName(mat)
-      level = mat
-      z -= 1
+    // 5. ancestor rollup in ONE exchange (was 14 sequential splice levels,
+    // each a localCheckpoint job — ~3× the batch latency): every spliced
+    // z14 pixel explodes into its ancestors, pruned INSIDE the flatMap to
+    // the dirty subtrees (the per-level dirty-tile sets are the same
+    // driver-side structure as before — bounded by the id-window), then a
+    // single groupBy recomputes all dirty parents of all levels. Sum is
+    // associative, so this equals the level-by-level cascade exactly
+    // (IncrementalSpec: incremental == one-shot pipeline).
+    val dirtyByZ: Array[Set[(Long, Long)]] = {
+      val arr = new Array[Set[(Long, Long)]](15)
+      arr(14) = dirtySet
+      var z = 13
+      while (z >= 0) {
+        arr(z) = arr(z + 1).map { case (tx, ty) => (tx / 2, ty / 2) }
+        z -= 1
+      }
+      arr
     }
+    val res = Res
+    val recomputed = splicedZ14
+      .select(col("gx"), col("gy"), col("users"), col("trips"))
+      .as[(Long, Long, Long, Long)]
+      .flatMap { case (gx, gy, users, trips) =>
+        Iterator.range(0, 14).filter { z =>
+          val d = 14 - z
+          dirtyByZ(z).contains(((gx >> d) / res, (gy >> d) / res))
+        }.map { z =>
+          val d = 14 - z
+          (z, gx >> d, gy >> d, users, trips)
+        }
+      }
+      .toDF("z", "gx", "gy", "users", "trips")
+      .groupBy(col("z"), col("gx"), col("gy"))
+      .agg(sum("users").as("users"), sum("trips").as("trips"))
+
+    // splice every lower level at once: drop old rows in dirty subtrees
+    val dirtyAll = dirtyByZ.zipWithIndex.take(14)
+      .flatMap { case (s, z) => s.map { case (tx, ty) => (z, tx, ty) } }.toSeq
+      .toDF("z", "tx", "ty")
+    val oldLower = oldGlobal.map(_.where(col("z") < 14)).getOrElse(emptyGlobal)
+    val keptLower = oldLower
+      .withColumn("tx", tileOf(col("gx"))).withColumn("ty", tileOf(col("gy")))
+      .join(broadcast(dirtyAll), Seq("z", "tx", "ty"), "left_anti")
+      .drop("tx", "ty")
+    val newGlobal = splicedZ14.unionByName(keptLower).unionByName(recomputed)
 
     // per-user cursors (S12, Worker.cs:290-296): last contribution id seen
     // per user, merged with the previous snapshot
