@@ -71,11 +71,22 @@ object GraftQueries {
     * content for a given sf dir). */
   val RasterDumpPath = "/tmp/graft_oracle/raster_pixels.parquet"
 
-  /** Write the raster dump for `d` and return a reader of it. */
+  /** Write the raster dump for `d` (skipped when a complete dump for the
+    * SAME sf dir already exists — content is deterministic per input, so
+    * the three dump-backed queries share one write) and return a reader. */
   private def rasterDump(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
-    graft.raster.Rasterize.pixelKeys(eventTracks(s, d)).toDF()
-      .write.mode("overwrite").parquet(RasterDumpPath)
+    val marker = java.nio.file.Paths.get(RasterDumpPath + ".source")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == d &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(RasterDumpPath, "_SUCCESS"))
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      graft.raster.Rasterize.pixelKeys(eventTracks(s, d)).toDF()
+        .write.mode("overwrite").parquet(RasterDumpPath)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, d.getBytes("UTF-8"))
+    }
     s.read.parquet(RasterDumpPath)
   }
 
