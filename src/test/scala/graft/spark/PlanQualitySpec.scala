@@ -78,6 +78,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(tkey"), plan)
   }
 
+  test("flagship export: z14 MVTs need ZERO exchanges over the cached tiles; full mvtAll needs two") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // count exchanges that would actually EXECUTE: stop at cache boundaries
+    // (an InMemoryRelation's stored child plan still prints its exchange)
+    def liveExchanges(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      if (p.getClass.getSimpleName.startsWith("InMemoryTableScan")) 0
+      else (if (p.getClass.getSimpleName.startsWith("ShuffleExchange")) 1 else 0) +
+        p.children.map(liveExchanges).sum
+    val tracks = s.createDataset(Seq(graft.model.Schemas.Track(1, 1,
+      Array(Array(4.35, 50.85), Array(4.351, 50.851)))))
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val result = graft.pipeline.HeatmapPipeline.run(tracks, k = 1)
+    try {
+      result.cached.get.count() // materialize the cache boundary
+      val z14Plan = graft.mvt.MvtJobs.encodeZ14FromTileCells(result.cached.get, k = 1)
+        .toDF().queryExecution.executedPlan
+      assert(liveExchanges(z14Plan) === 0, z14Plan) // narrow over the cache
+      val allPlan = graft.pipeline.HeatmapPipeline.mvtAll(result)
+        .toDF().queryExecution.executedPlan
+      // one for the lower-level pyramid merge + one for the lower MVT grouping
+      assert(liveExchanges(allPlan) === 2, allPlan)
+    } finally {
+      result.release()
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("pyramid: ONE exchange for all 15 levels") {
     implicit val s: SparkSession = spark
     import s.implicits._
