@@ -87,7 +87,7 @@ object Bench {
     spark.stop()
 
     // Flagship tile-render critical path, N vs 4N cores on the SAME input.
-    // Input = 4× the sf's track count: at bench SF the per-stage work is
+    // Input = 6× the sf's track count: at bench SF the per-stage work is
     // otherwise too short to measure compute rather than fixed scheduling
     // cost (BENCH/BASELINE.md §scaling). Headline pair is 2→8 cores — both
     // levels below this VM's ~16-thread memory-path saturation knee (the

@@ -49,9 +49,14 @@ object ServiceMain {
       case "batch" =>
         val tracks = spark.read.schema(StreamingHeatmap.trackSchema)
           .parquet(cfg.dataPath).as[Track]
-        val latest = tracks.agg(org.apache.spark.sql.functions.max("contribution_id"))
-          .collect().head.getLong(0)
-        Incremental.runToLatest(store, tracks, latest, cfg.maxContributions)
+        val maxRow = tracks.agg(org.apache.spark.sql.functions.max("contribution_id"))
+          .collect().head
+        if (maxRow.isNullAt(0)) {
+          // empty input (e.g. first deploy before any tracks land): clean no-op
+          System.err.println(s"[graft] no tracks under ${cfg.dataPath}; nothing to do")
+        } else {
+          Incremental.runToLatest(store, tracks, maxRow.getLong(0), cfg.maxContributions)
+        }
       case other => throw new IllegalArgumentException(s"spark.graft.mode=$other")
     }
 

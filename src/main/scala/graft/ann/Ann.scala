@@ -83,11 +83,7 @@ object Ann {
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val b = withLshBuckets(emb, nPlanes)
-    val sizes = b.groupBy($"bucket").agg(count(lit(1)).as("bsz"))
-    val sizesObs = capObs.fold(sizes)(o => sizes.observe(o,
-      sum(when($"bsz" > maxBucket, $"bsz").otherwise(0L)).as("dropped_rows"),
-      sum(when($"bsz" > maxBucket, 1L).otherwise(0L)).as("dropped_buckets")))
-    val capped = b.join(sizesObs, "bucket").where($"bsz" <= maxBucket).drop("bsz")
+    val capped = graft.spark.BucketCap.cap(b, Seq("bucket"), maxBucket, capObs)
     val withVec = capped.join(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")), "vec_id")
     withVec.as("l").join(withVec.as("r"),
         $"l.bucket" === $"r.bucket" && $"l.vec_id" < $"r.vec_id")

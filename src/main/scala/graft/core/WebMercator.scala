@@ -40,12 +40,47 @@ object WebMercator {
    */
   def extentCoords(zoom: Int, tx: Long, ty: Long, px: Int, py: Int,
                    res: Int, extent: Int): (Long, Long) = {
-    val tileId = Slippy.toLocalId(tx, ty, zoom)
-    val (lon, lat) = Slippy.fromLocalTileCoordinates(zoom, tileId, px, py, res)
-    val (left, top, _, _) = Slippy.boxXY(zoom, tx, ty)
-    val (mx, my) = latLonToMeters(lat, lon)
-    val (mLeft, mTop) = latLonToMeters(top, left)
-    val r = resolution(zoom, extent)
-    (((mx - mLeft) / r).toLong, ((mTop - my) / r).toLong)
+    val p = placer(zoom, tx, ty, res, extent)
+    (p.ex(px), p.ey(py))
   }
+
+  /** Per-TILE placement kernel: the tile-constant terms (box, Mercator
+    * corner, extent resolution) are computed once, and since extent x
+    * depends only on px and extent y only on py, each axis value is
+    * computed once per distinct coordinate (identical arithmetic to the
+    * per-pixel form — same doubles, same truncation — just not re-evaluated
+    * millions of times on the MVT-encode hot path). */
+  final class TilePlacer(zoom: Int, tx: Long, ty: Long, res: Int, extent: Int) {
+    private val (left, top, right, bottom) = Slippy.boxXY(zoom, tx, ty)
+    private val latStep = (top - bottom) / res
+    private val lonStep = (right - left) / res
+    private val (mLeft, mTop) = latLonToMeters(top, left)
+    private val r = resolution(zoom, extent)
+    private val exCache = new Array[Long](res)
+    private val exSet = new Array[Boolean](res)
+    private val eyCache = new Array[Long](res)
+    private val eySet = new Array[Boolean](res)
+
+    def ex(px: Int): Long = {
+      if (px >= 0 && px < res && exSet(px)) return exCache(px)
+      val lon = left + (lonStep * px) // Slippy.fromLocalTileCoordinates x-term
+      val mx = lon * OriginShift / 180.0
+      val v = ((mx - mLeft) / r).toLong
+      if (px >= 0 && px < res) { exCache(px) = v; exSet(px) = true }
+      v
+    }
+
+    def ey(py: Int): Long = {
+      if (py >= 0 && py < res && eySet(py)) return eyCache(py)
+      val lat = top - (py * latStep) // Slippy.fromLocalTileCoordinates y-term
+      val my0 = math.log(math.tan((90.0 + lat) * math.Pi / 360.0)) / (math.Pi / 180.0)
+      val my = my0 * OriginShift / 180.0
+      val v = ((mTop - my) / r).toLong
+      if (py >= 0 && py < res) { eyCache(py) = v; eySet(py) = true }
+      v
+    }
+  }
+
+  def placer(zoom: Int, tx: Long, ty: Long, res: Int, extent: Int): TilePlacer =
+    new TilePlacer(zoom, tx, ty, res, extent)
 }

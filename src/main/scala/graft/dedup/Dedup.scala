@@ -137,14 +137,7 @@ object Dedup {
     val buckets = prepared.flatMap { case (id, sh, sig) =>
       lshBands(sig, bands).zipWithIndex.map { case (h, b) => (id, b, h) }
     }.toDF("doc_id", "band", "bucket")
-    // cap metrics observe the SIZES relation (one row per (band, bucket)) —
-    // execution-time counters, no extra job, no distinct aggregate
-    val sizes = buckets.groupBy($"band", $"bucket").agg(count(lit(1)).as("bsz"))
-    val sizesObs = capObs.fold(sizes)(o => sizes.observe(o,
-      sum(when($"bsz" > maxBucket, $"bsz").otherwise(0L)).as("dropped_rows"),
-      sum(when($"bsz" > maxBucket, 1L).otherwise(0L)).as("dropped_buckets")))
-    val capped = buckets.join(sizesObs, Seq("band", "bucket"))
-      .where($"bsz" <= maxBucket).drop("bsz")
+    val capped = graft.spark.BucketCap.cap(buckets, Seq("band", "bucket"), maxBucket, capObs)
     val shingleSets = prepared.map { case (id, sh, _) => (id, sh) }.toDF("doc_id", "sh")
     val cand = capped.as("l").join(capped.as("r"),
         $"l.band" === $"r.band" && $"l.bucket" === $"r.bucket" && $"l.doc_id" < $"r.doc_id")

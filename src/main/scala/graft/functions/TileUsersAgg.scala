@@ -189,6 +189,18 @@ case class TileUsersAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TileBuffer] {
 
+  // analysis-time type contract (a wrong-typed SQL call fails cleanly
+  // instead of a mid-job ClassCastException on executors)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = userCol.dataType == LongType && (pixelsCol.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (BIGINT, ARRAY<BIGINT>), got " +
+        s"(${userCol.dataType.sql}, ${pixelsCol.dataType.sql})")
+  }
   override def children: Seq[Expression] = Seq(userCol, pixelsCol)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

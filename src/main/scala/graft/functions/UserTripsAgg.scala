@@ -90,6 +90,14 @@ case class UserTripsAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[UserSetBuffer] {
 
+  // analysis-time type contract (a wrong-typed SQL call fails cleanly
+  // instead of a mid-job ClassCastException on executors)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (userCol.dataType == LongType && tripsCol.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (BIGINT, BIGINT), got " +
+        s"(${userCol.dataType.sql}, ${tripsCol.dataType.sql})")
   override def children: Seq[Expression] = Seq(userCol, tripsCol)
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(

@@ -47,10 +47,11 @@ object MvtJobs {
     tc.flatMap { t =>
       val tx = t.tkey >>> 32
       val ty = t.tkey & 0xFFFFFFFFL
+      val placer = if (useMercator)
+        graft.core.WebMercator.placer(zoom, tx, ty, res, MvtCodec.Extent) else null
       val feats = t.cells.iterator.filter(_.users >= k).map { c =>
         val (ex, ey) =
-          if (useMercator)
-            graft.core.WebMercator.extentCoords(zoom, tx, ty, c.pix / res, c.pix % res, res, MvtCodec.Extent)
+          if (useMercator) (placer.ex(c.pix / res), placer.ey(c.pix % res))
           else ((c.pix / res).toLong * scale, (c.pix % res).toLong * scale)
         MvtCodec.ExtentFeature(ex, ey, c.users, c.trips)
       }.toArray
@@ -86,9 +87,11 @@ object MvtJobs {
         // (HeatMapTile.cs:94-112 enumerates pos = x*res + y ascending)
         val (z, tx, ty) = key
         val scale = MvtCodec.Extent / res
+        val placer = if (useMercator)
+          graft.core.WebMercator.placer(z, tx, ty, res, MvtCodec.Extent) else null
         val feats = rows.map { case (_, _, _, px, py, users, trips) =>
           val (ex, ey) =
-            if (useMercator) graft.core.WebMercator.extentCoords(z, tx, ty, px, py, res, MvtCodec.Extent)
+            if (useMercator) (placer.ex(px), placer.ey(py))
             else (px.toLong * scale, py.toLong * scale)
           (px.toLong * res + py, MvtCodec.ExtentFeature(ex, ey, users, trips))
         }.toArray.sortBy(_._1)

@@ -151,6 +151,21 @@ class HeatmapAggSpec extends AnyFunSuite {
     assert(cascade === fused)
   }
 
+  test("custom aggregates reject wrong-typed SQL at analysis time, not mid-job") {
+    implicit val s: SparkSession = spark
+    graft.functions.TileUsersFunctions.register(s)
+    graft.functions.UserTripsFunctions.register(s)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT tile_users(CAST(1 AS INT), array(1L, 2L))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT user_trips('not a user', 1L)").collect()
+    }
+    // and the correctly-typed forms still analyze + run
+    assert(s.sql("SELECT user_trips(1L, 2L) AS ut").collect().nonEmpty)
+    assert(s.sql("SELECT tile_users(1L, array(4294967296L))").collect().nonEmpty)
+  }
+
   test("tile-users inverted index: sorted distinct users per touched tile") {
     implicit val s: SparkSession = spark
     import s.implicits._
