@@ -76,12 +76,7 @@ object MvtCodec {
       VarInt.writeVarUInt(tagsB, 1L); VarInt.writeVarUInt(tagsB, valueId(f.trips).toLong)
       writeKeyBytes(fb, 2, tagsB.toByteArray)
       writeKeyVarInt(fb, 3, 1L) // GeomType POINT
-      // geometry: MoveTo(1,count=1) + zigzag coords (field 4, packed)
-      val geomB = new ByteArrayOutputStream()
-      VarInt.writeVarUInt(geomB, ((1 << 3) | 1).toLong) // command id 1 (MoveTo), count 1
-      VarInt.writeVarUInt(geomB, VarInt.zigZag(f.ex))
-      VarInt.writeVarUInt(geomB, VarInt.zigZag(f.ey))
-      writeKeyBytes(fb, 4, geomB.toByteArray)
+      writeKeyBytes(fb, 4, encodeMultiPointGeom(Seq((f.ex, f.ey))))
       writeKeyBytes(featBytes, 2, fb.toByteArray) // Layer.features
     }
 
@@ -102,6 +97,46 @@ object MvtCodec {
     val tile = new ByteArrayOutputStream()
     writeKeyBytes(tile, 3, layer.toByteArray) // Tile.layers
     tile.toByteArray
+  }
+
+  /** G8 — the delta-encoded geometry cursor (`TileGeometryTransform.cs:52-66`
+    * keeps currentX/currentY; the wire form is the MVT spec's
+    * MoveTo(count=n) command with each point zigzag-encoded RELATIVE to the
+    * cursor). The heatmap's single-point features are the n=1 case; the
+    * general multi-point form is part of the codec surface (MvtCodecSpec
+    * round-trips it). */
+  def encodeMultiPointGeom(points: Seq[(Long, Long)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    VarInt.writeVarUInt(out, ((points.length << 3) | 1).toLong) // MoveTo, count=n
+    var cx = 0L; var cy = 0L
+    points.foreach { case (x, y) =>
+      VarInt.writeVarUInt(out, VarInt.zigZag(x - cx))
+      VarInt.writeVarUInt(out, VarInt.zigZag(y - cy))
+      cx = x; cy = y
+    }
+    out.toByteArray
+  }
+
+  /** Inverse of `encodeMultiPointGeom` (cursor-decoded absolute points). */
+  def decodeMultiPointGeom(bytes: Array[Byte]): Seq[(Long, Long)] = {
+    var pos = 0
+    def next(): Long = {
+      var shift = 0; var v = 0L; var more = true
+      while (more) {
+        val b = bytes(pos) & 0xFF; pos += 1
+        v |= (b & 0x7FL) << shift; shift += 7; more = (b & 0x80) != 0
+      }
+      v
+    }
+    val cmd = next()
+    require((cmd & 7) == 1, s"expected MoveTo, got command ${cmd & 7}")
+    val n = (cmd >> 3).toInt
+    var cx = 0L; var cy = 0L
+    (1 to n).map { _ =>
+      cx += VarInt.unZigZag(next())
+      cy += VarInt.unZigZag(next())
+      (cx, cy)
+    }
   }
 
   // -- minimal decoder (tests only) -------------------------------------------

@@ -116,6 +116,38 @@ object Slippy {
     }
   }
 
+  /** TileStatic.cs:26-30 — exclusive local-id bound. The reference returns
+    * xMax² + xMax, one extra ROW beyond the grid (its own quirk, kept
+    * bit-for-bit: callers use it only as an upper bound). */
+  @inline def maxLocalId(zoom: Int): Long = {
+    val xMax = 1L << zoom
+    xMax * xMax + xMax
+  }
+
+  /** TileStatic.cs:48-63 — fractional tile coordinates of a lon/lat inside
+    * a tile (tile.x + lonFraction, tile.y + bottomUpLatFraction). The
+    * reference carries a TODO doubting the y orientation (latitude fraction
+    * measured bottom-up while tile y grows north-down); replicated as-is —
+    * this is the documented-dead-but-present surface. */
+  def subCoordinates(zoom: Int, tileId: Long, longitude: Double,
+                     latitude: Double): (Double, Double) = {
+    val (x, y) = toTile(zoom, tileId)
+    val (left, top, right, bottom) = boxXY(zoom, x, y)
+    val leftOffset = longitude - left
+    val bottomOffset = latitude - bottom
+    (x + (leftOffset / (right - left)), y + (bottomOffset / (top - bottom)))
+  }
+
+  /** TileStatic.cs:64-83 — 4-connectivity tile adjacency (N/S/E/W only;
+    * diagonals are NOT direct neighbours, nor is a tile its own). */
+  def isDirectNeighbour(zoom: Int, t1: Long, t2: Long): Boolean = {
+    val (x1, y1) = toTile(zoom, t1)
+    val (x2, y2) = toTile(zoom, t2)
+    if (x1 == x2) y1 == y2 + 1 || y1 == y2 - 1
+    else if (y1 == y2) x1 == x2 + 1 || x1 == x2 - 1
+    else false
+  }
+
   /** TileStatic.cs:184-196 — ancestor tile at a lower zoom. */
   def parentTileFor(x: Long, y: Long, zoom: Int, parentZoom: Int): (Long, Long) = {
     val dz = zoom - parentZoom

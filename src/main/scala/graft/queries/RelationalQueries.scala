@@ -193,8 +193,37 @@ object RelationalQueries {
     "q_f1_filters" -> ((s, d) =>
       events(s, d)
         .where(col("event_type").isin("click", "view") && col("props").isNotNull)
-        .groupBy(col("event_type")).agg(count(lit(1)).as("n")))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))),
+
+    // A12 — RemoveAll (HeatMapDiff.cs:112-121): detach selected tiles
+    "q_a12_remove_tiles" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.agg.TileOps.removeTiles(eventPixels(s, d), Seq((14, 0L, 0L), (14, 1L, 2L))).toDF()
+    }),
+
+    // J5 — CopyTilesTo (HeatMapExtensions.cs:23-56): per-pixel upsert of
+    // the selected tiles from one map into another
+    "q_j5_copy_tiles" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.agg.TileOps.copyTilesTo(
+        eventPixels(s, d, col("event_id") % 2 === 0),
+        eventPixels(s, d, col("event_id") % 2 === 1),
+        Seq((14, 1L, 1L))).toDF()
+    })
   )
+
+  /** Deterministic z14 pixel relation derived from events (tiles 0..3 in
+    * each axis at 512-px grain) — input for the tile-surgery operators. */
+  def eventPixels(s: SparkSession, d: String,
+                  filter: org.apache.spark.sql.Column = lit(true)): org.apache.spark.sql.Dataset[graft.model.Schemas.GlobalPixel] = {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    events(s, d).where(filter)
+      .groupBy((col("event_id") * 37 % 2048).as("gx"), (col("event_id") * 101 % 2048).as("gy"))
+      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("trips"))
+      .select(lit(14).as("z"), col("gx"), col("gy"), col("users"), col("trips"))
+      .as[graft.model.Schemas.GlobalPixel]
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_s2_max_cursor" -> "SELECT max(event_id) AS last_id FROM events",
@@ -288,6 +317,28 @@ object RelationalQueries {
          GROUP BY user_id""",
     "q_f1_filters" ->
       """SELECT event_type, count(*) AS n FROM events
-         WHERE event_type IN ('click', 'view') AND props IS NOT NULL GROUP BY event_type"""
+         WHERE event_type IN ('click', 'view') AND props IS NOT NULL GROUP BY event_type""",
+    "q_a12_remove_tiles" ->
+      """WITH px AS (
+           SELECT CAST(14 AS INTEGER) AS z, (event_id*37) % 2048 AS gx, (event_id*101) % 2048 AS gy,
+                  count(DISTINCT user_id) AS users, count(*) AS trips
+           FROM events GROUP BY 2, 3)
+         SELECT z, gx, gy, users, trips FROM px
+         WHERE NOT ((gx // 512 = 0 AND gy // 512 = 0) OR (gx // 512 = 1 AND gy // 512 = 2))""",
+    "q_j5_copy_tiles" ->
+      """WITH src AS (
+           SELECT CAST(14 AS INTEGER) AS z, (event_id*37) % 2048 AS gx, (event_id*101) % 2048 AS gy,
+                  count(DISTINCT user_id) AS users, count(*) AS trips
+           FROM events WHERE event_id % 2 = 0 GROUP BY 2, 3),
+         tgt AS (
+           SELECT CAST(14 AS INTEGER) AS z, (event_id*37) % 2048 AS gx, (event_id*101) % 2048 AS gy,
+                  count(DISTINCT user_id) AS users, count(*) AS trips
+           FROM events WHERE event_id % 2 = 1 GROUP BY 2, 3),
+         copied AS (
+           SELECT * FROM src WHERE gx // 512 = 1 AND gy // 512 = 1 AND trips > 0),
+         kept AS (
+           SELECT t.* FROM tgt t WHERE NOT EXISTS (
+             SELECT 1 FROM copied c WHERE c.z = t.z AND c.gx = t.gx AND c.gy = t.gy))
+         SELECT * FROM kept UNION ALL SELECT * FROM copied"""
   )
 }

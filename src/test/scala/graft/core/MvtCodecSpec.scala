@@ -59,6 +59,21 @@ class MvtCodecSpec extends AnyFunSuite {
     assert(got.toSeq === golden.toSeq)
   }
 
+  test("delta-encoded multi-point geometry cursor round-trips (G8)") {
+    val pts = Seq((100L, 200L), (104L, 196L), (104L, 196L), (0L, 4095L))
+    val enc = MvtCodec.encodeMultiPointGeom(pts)
+    assert(MvtCodec.decodeMultiPointGeom(enc) === pts)
+    // command integer: MoveTo (id 1) with count 4 → (4 << 3) | 1 = 0x21
+    assert((enc(0) & 0xFF) === 0x21)
+    // single-point case is the layer encoder's n=1 form: MoveTo count 1 = 0x09
+    val one = MvtCodec.encodeMultiPointGeom(Seq((80L, 160L)))
+    assert((one(0) & 0xFF) === 0x09)
+    assert(MvtCodec.decodeMultiPointGeom(one) === Seq((80L, 160L)))
+    // deltas actually shrink the wire size vs absolute re-encoding
+    val walk = (0 until 50).map(i => (1000L + i, 2000L + i))
+    assert(MvtCodec.encodeMultiPointGeom(walk).length < 1 + 50 * 4)
+  }
+
   test("mercator placement: x sub-unit off linear, y sub-pixel off linear, 0 at tile top") {
     val res = 512
     // Brussels-area z14 tile + a far-north tile (worst-case Mercator stretch)

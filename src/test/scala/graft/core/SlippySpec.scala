@@ -107,6 +107,37 @@ class SlippySpec extends AnyFunSuite {
     assert(Slippy.toHeatMapCoordinates(14, 512, 4.35, 50.85, _ => false).isEmpty)
   }
 
+  test("maxLocalId keeps the reference's xMax²+xMax quirk (TileStatic.cs:26-30)") {
+    assert(Slippy.maxLocalId(0) === 2L)       // 1 + 1
+    assert(Slippy.maxLocalId(1) === 6L)       // 4 + 2
+    assert(Slippy.maxLocalId(14) === (1L << 28) + (1L << 14))
+    // every real tile id is strictly below the bound
+    assert(Slippy.toLocalId((1L << 14) - 1, (1L << 14) - 1, 14) < Slippy.maxLocalId(14))
+  }
+
+  test("subCoordinates: fractional tile coords, y fraction bottom-up (TileStatic.cs:48-63)") {
+    val (tx, ty) = (8374L, 5556L)
+    val tid = Slippy.toLocalId(tx, ty, 14)
+    val (left, top, right, bottom) = Slippy.box(14, tid)
+    // tile corners: left/bottom → (x + 0, y + 0); right/top → (x+1, y+1)
+    val (x0, y0) = Slippy.subCoordinates(14, tid, left, bottom)
+    assert(math.abs(x0 - tx) < 1e-9 && math.abs(y0 - ty) < 1e-9)
+    val (x1, y1) = Slippy.subCoordinates(14, tid, right, top)
+    assert(math.abs(x1 - (tx + 1)) < 1e-9 && math.abs(y1 - (ty + 1)) < 1e-9)
+    // midpoint lands at +0.5 in x
+    val (xm, _) = Slippy.subCoordinates(14, tid, (left + right) / 2, bottom)
+    assert(math.abs(xm - (tx + 0.5)) < 1e-9)
+  }
+
+  test("isDirectNeighbour: 4-connectivity only (TileStatic.cs:64-83)") {
+    def id(x: Long, y: Long) = Slippy.toLocalId(x, y, 14)
+    assert(Slippy.isDirectNeighbour(14, id(10, 10), id(10, 11)))
+    assert(Slippy.isDirectNeighbour(14, id(10, 10), id(9, 10)))
+    assert(!Slippy.isDirectNeighbour(14, id(10, 10), id(11, 11)), "diagonal")
+    assert(!Slippy.isDirectNeighbour(14, id(10, 10), id(10, 10)), "self")
+    assert(!Slippy.isDirectNeighbour(14, id(10, 10), id(10, 12)), "distance 2")
+  }
+
   test("toPolygon adds a 5% margin around the tile box (TileStatic.cs:235-268)") {
     val tid = Slippy.toLocalId(8374, 5556, 14)
     val ring = Slippy.toPolygon(14, tid)
