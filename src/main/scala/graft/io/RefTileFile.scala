@@ -53,6 +53,42 @@ object RefTileFile {
     (res, out.result())
   }
 
+  /** S9 — the stream block copy: the reference grows a tile file IN PLACE
+    * by resizing the mmap'd heap and copying whole 64-cell blocks
+    * (`HeatMapTile.cs` set → `ArrayBase.Resize`, the
+    * `Reminiscence` stream copy the SURVEY lists as S9). This is that
+    * operation at the byte level: existing blocks are block-copied
+    * verbatim, newly touched blocks are appended to the heap tail, and new
+    * cell values land inside their (old or new) block. Equivalent to a
+    * read-merge-rewrite, but touching only the heap tail — proven equal in
+    * RefTileFileSpec. */
+  def append(bytes: Array[Byte], cells: Seq[(Int, Int, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val res = bb.getInt(0)
+    val nBlocks = res * res / BlockSize
+    val heapBase = 4 + nBlocks * 4
+    val heapCells = (bytes.length - heapBase) / 8
+    val byBlock = cells.groupBy { case (x, y, _) => (x * res + y) / BlockSize }
+    val newBlocks = byBlock.keys.toArray.sorted
+      .filter(b => (bb.getInt(4 + b * 4) & 0xFFFFFFFFL) == NoBlock)
+    val out = new Array[Byte](bytes.length + newBlocks.length * BlockSize * 8)
+    System.arraycopy(bytes, 0, out, 0, bytes.length) // the block copy
+    val ob = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    var next = heapCells
+    newBlocks.foreach { b =>
+      ob.putInt(4 + b * 4, next.toInt)
+      next += BlockSize
+    }
+    byBlock.foreach { case (b, cs) =>
+      val pointer = ob.getInt(4 + b * 4) & 0xFFFFFFFFL
+      cs.foreach { case (x, y, v) =>
+        val off = (x * res + y) % BlockSize
+        ob.putLong((heapBase + (pointer + off) * 8).toInt, v)
+      }
+    }
+    out
+  }
+
   /** Encode non-zero cells as a tile file (blocks appended in ascending
     * block order — any pointer arrangement is valid for readers; the
     * reference itself appends in first-touch order). */

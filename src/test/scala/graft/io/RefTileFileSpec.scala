@@ -34,6 +34,19 @@ class RefTileFileSpec extends AnyFunSuite {
     assert(graft.core.Codec.decode(cells(1)._3) === ((9L, 4L)))
   }
 
+  test("append grows the heap in place: old blocks copied, new blocks at the tail (S9)") {
+    val base = RefTileFile.write(64, Seq((0, 0, 5L), (10, 10, 7L)))
+    // one cell into an EXISTING block (pos 1 shares block 0) + one new block
+    val appended = RefTileFile.append(base, Seq((0, 1, 9L), (63, 63, 11L)))
+    val (_, got) = RefTileFile.read(appended)
+    assert(got.toSet === Set((0, 0, 5L), (0, 1, 9L), (10, 10, 7L), (63, 63, 11L)))
+    // equal to the read-merge-rewrite form
+    val rewritten = RefTileFile.write(64, got)
+    assert(RefTileFile.read(rewritten)._2.toSet === got.toSet)
+    // only the heap tail grew: header + pointers region size unchanged
+    assert(appended.length === base.length + 64 * 8)
+  }
+
   test("empty-pointer blocks and a truncated heap are handled safely") {
     val bytes = RefTileFile.write(64, Seq((5, 5, 1L)))
     val truncated = bytes.take(bytes.length - 8) // chop the heap tail
