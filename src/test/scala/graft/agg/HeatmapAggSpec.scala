@@ -151,6 +151,47 @@ class HeatmapAggSpec extends AnyFunSuite {
     assert(cascade === fused)
   }
 
+  test("TileUsersAgg randomized differential vs in-memory oracle (grow + serde + merge paths)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val rnd = new java.util.Random(99)
+    val tkeys = Array((10L << 32) | 20L, (10L << 32) | 21L, (999L << 32) | 999L)
+    val rows = (0 until 3000).map { _ =>
+      val user = rnd.nextInt(40).toLong // includes user 0
+      val tkey = tkeys(rnd.nextInt(tkeys.length))
+      val n = 1 + rnd.nextInt(20)
+      val pixels = Array.fill(n) {
+        val pix = rnd.nextInt(512 * 512).toLong
+        val trips = (1 + rnd.nextInt(3)).toLong
+        (pix << 32) | trips
+      }
+      graft.model.Schemas.TileVisit(user, tkey, pixels)
+    }
+    // oracle: plain maps
+    val trips = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    val users = scala.collection.mutable.Map.empty[(Long, Long), Set[Long]]
+    rows.foreach { tv =>
+      tv.pixels.foreach { p =>
+        val key = (tv.tkey, p >>> 32)
+        trips(key) = trips.getOrElse(key, 0L) + (p & 0xFFFFFFFFL)
+        users(key) = users.getOrElse(key, Set.empty) + tv.user_id
+      }
+    }
+    // 7 partitions force partial buffers + serde + cross-partition merges
+    val got = HeatmapAgg.cellsToPixels(
+        HeatmapAgg.tileCells(s.createDataset(rows).repartition(7)), k = 1)
+      .collect()
+      .map { p =>
+        val tkey = ((p.gx / 512) << 32) | (p.gy / 512)
+        val pix = (p.gx % 512) * 512 + (p.gy % 512)
+        ((tkey, pix), (p.users, p.trips))
+      }.toMap
+    assert(got.size === trips.size)
+    trips.foreach { case (key, t) =>
+      assert(got(key) === ((users(key).size.toLong, t)), s"cell $key")
+    }
+  }
+
   test("custom aggregates reject wrong-typed SQL at analysis time, not mid-job") {
     implicit val s: SparkSession = spark
     graft.functions.TileUsersFunctions.register(s)
