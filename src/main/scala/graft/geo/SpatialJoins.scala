@@ -53,6 +53,61 @@ object SpatialJoins {
       .drop("left", "bottom", "right", "top")
   }
 
+  /** A polygonal region: closed ring of (lon, lat), last point == first
+    * (the shape `Slippy.toPolygon` produces; arbitrary simple rings OK). */
+  final case class PolyRegion(region_id: Long, ring: Array[Array[Double]])
+
+  /** Even-odd ray-casting containment (pure kernel; boundary points count
+    * as inside on the left/bottom edges — consistent tie-break). */
+  def pointInRing(lon: Double, lat: Double, ring: Array[Array[Double]]): Boolean = {
+    var inside = false
+    var i = 0
+    val n = ring.length
+    while (i < n - 1) {
+      val x1 = ring(i)(0); val y1 = ring(i)(1)
+      val x2 = ring(i + 1)(0); val y2 = ring(i + 1)(1)
+      if ((y1 > lat) != (y2 > lat)) {
+        val xCross = x1 + (lat - y1) / (y2 - y1) * (x2 - x1)
+        if (lon < xCross) inside = !inside
+      }
+      i += 1
+    }
+    inside
+  }
+
+  /** Cell cover of a polygon's bounding box (conservative superset —
+    * exactness comes from the ray-cast refine). */
+  def coverCellsPolygon(p: PolyRegion, zoom: Int = CellZoom): Seq[(Long, Long)] = {
+    val lons = p.ring.map(_(0)); val lats = p.ring.map(_(1))
+    Slippy.tilesFor(lons.min, lats.max, lons.max, lats.min, zoom)
+      .map { case (tx, ty) => (p.region_id, Slippy.toLocalId(tx, ty, zoom)) }
+      .toSeq
+  }
+
+  /** Point-in-POLYGON join for arbitrary simple rings: bbox cell-cover
+    * equi-join prunes candidates (broadcast — regions are the small side),
+    * then the exact ray-cast refine runs as a typed filter against the
+    * broadcast ring table. Same plan shape as the rectangular
+    * `pointInRegion`; only the refine predicate changes (the reference's
+    * own region polygons, TileStatic.cs:235-268, are rectangles — this is
+    * the general form the north star's region joins need).
+    * Output: (pid, lon, lat, cell, region_id). */
+  def pointInPolygon(points: DataFrame, regions: Seq[PolyRegion], zoom: Int = CellZoom)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cover = regions.flatMap(r => coverCellsPolygon(r, zoom))
+      .toDF("region_id", "cell")
+    val rings = spark.sparkContext.broadcast(
+      regions.map(r => r.region_id -> r.ring).toMap)
+    withCell(points, zoom)
+      .join(broadcast(cover), "cell")
+      .select(col("pid").cast("long"), col("lon"), col("lat"),
+        col("cell"), col("region_id").cast("long"))
+      .as[(Long, Double, Double, Long, Long)]
+      .filter { t => pointInRing(t._2, t._3, rings.value(t._5)) }
+      .toDF("pid", "lon", "lat", "cell", "region_id")
+  }
+
   /** kNN: for each query point, the k nearest data points by squared
     * euclidean degree distance. Brute-force window baseline (exact); the
     * cell-ring candidate variant must reproduce exactly this output. */

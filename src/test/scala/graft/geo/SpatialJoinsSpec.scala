@@ -80,6 +80,69 @@ class SpatialJoinsSpec extends AnyFunSuite {
     assert(got === Set((1L, 2L, 10L), (5L, 6L, 30L)))
   }
 
+  test("ray-cast kernel: convex oracle (half-planes) + concave golden") {
+    // seeded random convex polygons: containment independently decidable by
+    // the half-plane test, so the ray caster has a true oracle
+    val rnd = new java.util.Random(17)
+    (1 to 20).foreach { _ =>
+      val cx = 4.0 + rnd.nextDouble(); val cy = 50.5 + rnd.nextDouble()
+      // vertices on a circle (sorted angles, fixed radius) are guaranteed
+      // convex — a sound half-plane oracle (random radii would be merely
+      // star-shaped, where the half-plane test is wrong)
+      val angles = (0 until 3 + rnd.nextInt(5)).map(_ => rnd.nextDouble() * 2 * math.Pi).sorted
+      val hull = angles.map(a => (cx + 0.15 * math.cos(a), cy + 0.15 * math.sin(a)))
+      val ring = (hull :+ hull.head).map { case (x, y) => Array(x, y) }.toArray
+      def halfPlaneInside(px: Double, py: Double): Boolean =
+        (0 until hull.size).forall { i =>
+          val (x1, y1) = hull(i); val (x2, y2) = hull((i + 1) % hull.size)
+          (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0
+        }
+      (1 to 60).foreach { _ =>
+        val px = cx + 0.4 * (rnd.nextDouble() - 0.5)
+        val py = cy + 0.4 * (rnd.nextDouble() - 0.5)
+        // skip near-boundary points (tie-break conventions differ there)
+        val strictIn = (0 until hull.size).forall { i =>
+          val (x1, y1) = hull(i); val (x2, y2) = hull((i + 1) % hull.size)
+          (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) > 1e-9
+        }
+        val strictOut = (0 until hull.size).exists { i =>
+          val (x1, y1) = hull(i); val (x2, y2) = hull((i + 1) % hull.size)
+          (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) < -1e-9
+        }
+        if (strictIn) assert(SpatialJoins.pointInRing(px, py, ring), s"($px,$py) should be in")
+        else if (strictOut) assert(!SpatialJoins.pointInRing(px, py, ring), s"($px,$py) should be out")
+      }
+    }
+    // concave L-shape golden
+    val l = Array(Array(0.0, 0.0), Array(2.0, 0.0), Array(2.0, 1.0),
+      Array(1.0, 1.0), Array(1.0, 2.0), Array(0.0, 2.0), Array(0.0, 0.0))
+    assert(SpatialJoins.pointInRing(0.5, 0.5, l))
+    assert(SpatialJoins.pointInRing(1.5, 0.5, l))
+    assert(SpatialJoins.pointInRing(0.5, 1.5, l))
+    assert(!SpatialJoins.pointInRing(1.5, 1.5, l), "the notch is outside")
+    assert(!SpatialJoins.pointInRing(2.5, 0.5, l))
+  }
+
+  test("pointInPolygon join == brute-force ray cast over all pairs") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val pts = points(800)
+    val df = pts.toDF("pid", "lon", "lat")
+    val tri = SpatialJoins.PolyRegion(1, Array(
+      Array(3.3, 50.3), Array(4.5, 50.4), Array(3.9, 51.2), Array(3.3, 50.3)))
+    val lshape = SpatialJoins.PolyRegion(2, Array(
+      Array(4.0, 50.1), Array(4.9, 50.1), Array(4.9, 50.6),
+      Array(4.45, 50.6), Array(4.45, 51.3), Array(4.0, 51.3), Array(4.0, 50.1)))
+    val got = SpatialJoins.pointInPolygon(df, Seq(tri, lshape))
+      .select("pid", "region_id").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (pid, lon, lat) <- pts
+      r <- Seq(tri, lshape) if SpatialJoins.pointInRing(lon, lat, r.ring)
+    } yield (pid, r.region_id)).toSet
+    assert(want.nonEmpty, "fixture must hit both polygons")
+    assert(got === want)
+  }
+
   test("cover cells contain every point's cell within the region") {
     val r = regions.head
     val cover = SpatialJoins.coverCells(r).map(_._2).toSet
