@@ -148,6 +148,52 @@ object Slippy {
     else false
   }
 
+  /** Hierarchical cell id (quadkey, public Bing-maps scheme): x/y bits
+    * interleaved most-significant first, packed with the zoom in the low 5
+    * bits — `key = interleave(x, y) << 5 | zoom`. The property the flat
+    * `toLocalId` lacks and H3/S2 ids have: a parent's digit string is a
+    * PREFIX of every descendant's, so ancestor tests and subtree scans are
+    * shifts/range predicates (parquet min-max prunable) instead of joins.
+    * Fits a Long for zoom ≤ 29. */
+  @inline def quadKey(x: Long, y: Long, zoom: Int): Long = {
+    var k = 0L
+    var i = zoom - 1
+    while (i >= 0) {
+      k = (k << 2) | (((y >> i) & 1L) << 1) | ((x >> i) & 1L)
+      i -= 1
+    }
+    (k << 5) | zoom
+  }
+
+  /** quadkey → (x, y, zoom). */
+  def fromQuadKey(key: Long): (Long, Long, Int) = {
+    val zoom = (key & 0x1FL).toInt
+    var k = key >>> 5
+    var x = 0L; var y = 0L
+    var i = 0
+    while (i < zoom) {
+      x |= (k & 1L) << i
+      y |= ((k >> 1) & 1L) << i
+      k >>= 2
+      i += 1
+    }
+    (x, y, zoom)
+  }
+
+  /** Ancestor quadkey at a lower zoom: drop the trailing digits (the
+    * prefix property — no coordinate round trip needed). */
+  @inline def quadKeyParent(key: Long, parentZoom: Int): Long = {
+    val zoom = (key & 0x1FL).toInt
+    (((key >>> 5) >> (2 * (zoom - parentZoom))) << 5) | parentZoom
+  }
+
+  /** True iff `ancestor` is a (transitive) parent cell of `key`. */
+  @inline def quadKeyContains(ancestor: Long, key: Long): Boolean = {
+    val az = (ancestor & 0x1FL).toInt
+    val kz = (key & 0x1FL).toInt
+    kz >= az && quadKeyParent(key, az) == ancestor
+  }
+
   /** TileStatic.cs:184-196 — ancestor tile at a lower zoom. */
   def parentTileFor(x: Long, y: Long, zoom: Int, parentZoom: Int): (Long, Long) = {
     val dz = zoom - parentZoom

@@ -138,6 +138,36 @@ class SlippySpec extends AnyFunSuite {
     assert(!Slippy.isDirectNeighbour(14, id(10, 10), id(10, 12)), "distance 2")
   }
 
+  test("quadkey: round-trip, prefix-parent property, containment (seeded)") {
+    val rnd = new java.util.Random(41)
+    (1 to 500).foreach { _ =>
+      val z = 1 + rnd.nextInt(14)
+      val x = rnd.nextLong(1L << z).abs % (1L << z)
+      val y = rnd.nextLong(1L << z).abs % (1L << z)
+      val k = Slippy.quadKey(x, y, z)
+      assert(Slippy.fromQuadKey(k) === ((x, y, z)))
+      // parent via quadkey == parent via coordinates, at every ancestor zoom
+      val pz = rnd.nextInt(z)
+      val viaKey = Slippy.fromQuadKey(Slippy.quadKeyParent(k, pz))
+      val (px, py) = Slippy.parentTileFor(x, y, z, pz)
+      assert(viaKey === ((px, py, pz)))
+      assert(Slippy.quadKeyContains(Slippy.quadKey(px, py, pz), k))
+      // a sibling subtree never contains it
+      val sibX = px ^ 1L
+      if (pz > 0) assert(!Slippy.quadKeyContains(Slippy.quadKey(sibX, py, pz), k))
+    }
+    // descendants of one parent form a contiguous quadkey range (the
+    // min-max-prunable subtree-scan property)
+    val parent = Slippy.quadKey(2, 3, 2)
+    val kids = Slippy.subTilesFor(2, 3, 2, 5).map { case (cx, cy) =>
+      Slippy.quadKey(cx, cy, 5) }.toSeq.sorted
+    assert(kids.size === 64)
+    val lo = ((parent >>> 5) << (2 * 3) << 5) | 5
+    val hi = (((parent >>> 5) + 1) << (2 * 3) << 5) | 5
+    assert(kids.head >= lo && kids.last < hi)
+    assert(kids.forall(k => Slippy.quadKeyContains(parent, k)))
+  }
+
   test("toPolygon adds a 5% margin around the tile box (TileStatic.cs:235-268)") {
     val tid = Slippy.toLocalId(8374, 5556, 14)
     val ring = Slippy.toPolygon(14, tid)
