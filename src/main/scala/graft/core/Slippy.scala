@@ -180,6 +180,13 @@ object Slippy {
     (x, y, zoom)
   }
 
+  /** lon/lat → quadkey at a zoom (the batched cell-ENCODING kernel the
+    * codegen'd `quad_key` expression calls). */
+  def worldToQuadKey(longitude: Double, latitude: Double, zoom: Int): Long = {
+    val (x, y) = worldToTile(longitude, latitude, zoom)
+    quadKey(x, y, zoom)
+  }
+
   /** Ancestor quadkey at a lower zoom: drop the trailing digits (the
     * prefix property — no coordinate round trip needed). */
   @inline def quadKeyParent(key: Long, parentZoom: Int): Long = {

@@ -51,6 +51,63 @@ case class SlippyCell(lon: Expression, lat: Expression, zoom: Expression)
   override def prettyName: String = "slippy_cell"
 }
 
+/** Codegen'd hierarchical cell encoding: `quad_key(lon, lat, zoom)` —
+  * the prefix-embedding H3/S2-style id (`Slippy.quadKey`), computed inside
+  * whole-stage codegen like `slippy_cell`. */
+case class QuadKeyCell(lon: Expression, lat: Expression, zoom: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = lon
+  override def second: Expression = lat
+  override def third: Expression = zoom
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = lon.nullable || lat.nullable || zoom.nullable
+
+  override protected def nullSafeEval(lonV: Any, latV: Any, zoomV: Any): Any =
+    graft.core.Slippy.worldToQuadKey(
+      lonV.asInstanceOf[Double], latV.asInstanceOf[Double], zoomV.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lonC, latC, zC) =>
+      s"${ev.value} = graft.core.Slippy.worldToQuadKey($lonC, $latC, $zC);")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (lon.dataType == DoubleType && lat.dataType == DoubleType && zoom.dataType == IntegerType)
+      TypeCheckSuccess
+    else TypeCheckFailure(
+      s"quad_key expects (double, double, int), got (${lon.dataType}, ${lat.dataType}, ${zoom.dataType})")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(lon = newFirst, lat = newSecond, zoom = newThird)
+
+  override def prettyName: String = "quad_key"
+}
+
+object QuadKeyFunctions {
+  val Name = "quad_key"
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier(Name)
+    if (!registry.functionExists(ident)) {
+      registry.registerFunction(
+        ident,
+        new ExpressionInfo(classOf[QuadKeyCell].getName, Name),
+        (exprs: Seq[Expression]) => QuadKeyCell(exprs(0), exprs(1), exprs(2)))
+    }
+  }
+
+  def quadKey(spark: SparkSession, lon: Column, lat: Column, zoom: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(Name, lon, lat,
+      org.apache.spark.sql.functions.lit(zoom))
+  }
+}
+
 object SlippyFunctions {
   val Name = "slippy_cell"
 
@@ -82,5 +139,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SlippyFunctions.Name),
       new ExpressionInfo(classOf[SlippyCell].getName, SlippyFunctions.Name),
       (exprs: Seq[Expression]) => SlippyCell(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier(QuadKeyFunctions.Name),
+      new ExpressionInfo(classOf[QuadKeyCell].getName, QuadKeyFunctions.Name),
+      (exprs: Seq[Expression]) => QuadKeyCell(exprs(0), exprs(1), exprs(2))))
   }
 }
