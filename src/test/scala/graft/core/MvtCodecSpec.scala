@@ -74,6 +74,35 @@ class MvtCodecSpec extends AnyFunSuite {
     assert(MvtCodec.encodeMultiPointGeom(walk).length < 1 + 50 * 4)
   }
 
+  test("TilePlacer memoization == naive per-pixel formula (independent re-derivation)") {
+    // the unhoisted two-step transform, re-written here from the same
+    // public formulas — guards the per-axis caching against drift
+    def naive(z: Int, tx: Long, ty: Long, px: Int, py: Int, res: Int, extent: Int): (Long, Long) = {
+      val (left, top, right, bottom) = graft.core.Slippy.boxXY(z, tx, ty)
+      val lon = left + ((right - left) / res) * px
+      val lat = top - (py * ((top - bottom) / res))
+      def mx(l: Double) = l * graft.core.WebMercator.OriginShift / 180.0
+      def my(l: Double) =
+        math.log(math.tan((90.0 + l) * math.Pi / 360.0)) / (math.Pi / 180.0) *
+          graft.core.WebMercator.OriginShift / 180.0
+      val r = graft.core.WebMercator.resolution(z, extent)
+      (((mx(lon) - mx(left)) / r).toLong, ((my(top) - my(lat)) / r).toLong)
+    }
+    val rnd = new java.util.Random(5)
+    (1 to 300).foreach { _ =>
+      val z = 6 + rnd.nextInt(9)
+      val tx = rnd.nextInt(1 << z).toLong
+      val ty = 1 + rnd.nextInt((1 << z) - 2).toLong
+      val px = rnd.nextInt(512); val py = rnd.nextInt(512)
+      val got = graft.core.WebMercator.extentCoords(z, tx, ty, px, py, 512, MvtCodec.Extent)
+      // twice through the SAME placer exercises the cached path too
+      val placer = graft.core.WebMercator.placer(z, tx, ty, 512, MvtCodec.Extent)
+      placer.ex(px); placer.ey(py)
+      assert((placer.ex(px), placer.ey(py)) === got)
+      assert(got === naive(z, tx, ty, px, py, 512, MvtCodec.Extent), s"($z,$tx,$ty,$px,$py)")
+    }
+  }
+
   test("mercator placement: x sub-unit off linear, y sub-pixel off linear, 0 at tile top") {
     val res = 512
     // Brussels-area z14 tile + a far-north tile (worst-case Mercator stretch)
