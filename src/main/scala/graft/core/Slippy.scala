@@ -154,8 +154,10 @@ object Slippy {
     * `toLocalId` lacks and H3/S2 ids have: a parent's digit string is a
     * PREFIX of every descendant's, so ancestor tests and subtree scans are
     * shifts/range predicates (parquet min-max prunable) instead of joins.
-    * Fits a Long for zoom ≤ 29. */
+    * Fits a Long for zoom ≤ 29 (validated — a deeper zoom would silently
+    * overflow the packing; negative zoom is meaningless). */
   @inline def quadKey(x: Long, y: Long, zoom: Int): Long = {
+    require(zoom >= 0 && zoom <= 29, s"quadKey zoom must be in [0, 29], got $zoom")
     var k = 0L
     var i = zoom - 1
     while (i >= 0) {

@@ -49,7 +49,17 @@ object WebMercator {
     * depends only on px and extent y only on py, each axis value is
     * computed once per distinct coordinate (identical arithmetic to the
     * per-pixel form — same doubles, same truncation — just not re-evaluated
-    * millions of times on the MVT-encode hot path). */
+    * millions of times on the MVT-encode hot path).
+    *
+    * Precision caveat (not a byte-for-byte claim): this truncates the
+    * TILE-RELATIVE offset `(m − mCorner)/r`; a writer that truncates the
+    * GLOBAL pixel coordinate before subtracting the tile offset can differ
+    * by 1 extent unit when the coordinate lands within a double ulp of an
+    * integer boundary. The external NTS writer's exact op order is not
+    * capturable in this sandbox, so the guarantee is: same formulas
+    * (standard "Global Map Tiles" math + C#-style trunc-toward-zero),
+    * divergence bounded to ±1 extent unit at ulp boundaries, guarded
+    * against an independently re-derived formula in MvtCodecSpec. */
   final class TilePlacer(zoom: Int, tx: Long, ty: Long, res: Int, extent: Int) {
     private val (left, top, right, bottom) = Slippy.boxXY(zoom, tx, ty)
     private val latStep = (top - bottom) / res

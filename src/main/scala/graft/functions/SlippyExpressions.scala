@@ -74,10 +74,17 @@ case class QuadKeyCell(lon: Expression, lat: Expression, zoom: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    if (lon.dataType == DoubleType && lat.dataType == DoubleType && zoom.dataType == IntegerType)
-      TypeCheckSuccess
-    else TypeCheckFailure(
-      s"quad_key expects (double, double, int), got (${lon.dataType}, ${lat.dataType}, ${zoom.dataType})")
+    if (!(lon.dataType == DoubleType && lat.dataType == DoubleType && zoom.dataType == IntegerType))
+      TypeCheckFailure(
+        s"quad_key expects (double, double, int), got (${lon.dataType}, ${lat.dataType}, ${zoom.dataType})")
+    else if (zoom.foldable && zoom.eval() != null && {
+      val z = zoom.eval().asInstanceOf[Int]; z < 0 || z > 29
+    })
+      // analysis-time bound check: zoom > 29 would overflow the Long packing
+      // (2·29 interleaved bits + 5 zoom bits); catch a literal out-of-range
+      // zoom at plan time instead of a runtime require on executors
+      TypeCheckFailure(s"quad_key zoom must be in [0, 29], got ${zoom.eval()}")
+    else TypeCheckSuccess
   }
 
   override protected def withNewChildrenInternal(

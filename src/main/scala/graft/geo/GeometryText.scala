@@ -36,7 +36,9 @@ object GeometryText {
         if (nums.length != 2) return null // Z/M or malformed
         Array(nums(0).toDouble, nums(1).toDouble)
       }
-      if (pts.length >= 1) pts else null
+      // OGC WKT (and the reference's NTS stack) requires >= 2 points for a
+      // LineString — a degenerate single-point track is malformed, not drawable
+      if (pts.length >= 2) pts else null
     } catch { case _: NumberFormatException => null }
   }
 
@@ -73,7 +75,8 @@ object GeometryText {
         if (nums.length < 2) return null
         Array(nums(0), nums(1)) // lon, lat; altitude (if any) dropped
       }
-      pts
+      // RFC 7946 §3.1.4: a LineString has two or more positions
+      if (pts.length >= 2) pts else null
     } catch { case _: NumberFormatException => null }
   }
 

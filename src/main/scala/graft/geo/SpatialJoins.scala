@@ -57,8 +57,16 @@ object SpatialJoins {
     * (the shape `Slippy.toPolygon` produces; arbitrary simple rings OK). */
   final case class PolyRegion(region_id: Long, ring: Array[Array[Double]])
 
-  /** Even-odd ray-casting containment (pure kernel; boundary points count
-    * as inside on the left/bottom edges — consistent tie-break). */
+  /** Even-odd ray-casting containment (pure kernel). Tie-break, stated
+    * precisely: the +x ray uses a STRICT `lon < xCross` test with a
+    * half-open `(y1 > lat) != (y2 > lat)` span, so an edge the point lies
+    * exactly ON never toggles — the point is inside iff an odd number of
+    * edges lie STRICTLY to its right. Consequences: a point on a vertical
+    * edge is inside iff the region is to the right of it (left boundary in,
+    * right boundary out); bottom boundary in, top boundary out (half-open
+    * span). Two regions sharing a border therefore claim a boundary point
+    * at most once — the property the oracle tie-break consistency relies
+    * on. */
   def pointInRing(lon: Double, lat: Double, ring: Array[Array[Double]]): Boolean = {
     var inside = false
     var i = 0

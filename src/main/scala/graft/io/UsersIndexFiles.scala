@@ -54,7 +54,16 @@ object UsersIndexFiles {
 
   /** The reference's incremental ADD (Worker.cs:298-324), replicated
     * exactly: append the user to each tile's file unless already listed
-    * (idempotent — a second add leaves the file byte-identical). */
+    * (idempotent — a second add leaves the file byte-identical).
+    *
+    * Durability: the rewrite goes through a temp file + ATOMIC_MOVE, so a
+    * crash mid-write can never leave a truncated `.users` file (readers see
+    * the old complete content or the new complete content). Concurrency
+    * contract: SINGLE WRITER PER TILE — like the reference's one-process
+    * Worker loop; the read-modify-write is not locked, so two concurrent
+    * adders to the SAME tile could still lose one user. The engine's
+    * distributed writer (`writeIndex`) partitions by tile, which satisfies
+    * the contract by construction. */
   def addUserTo(dir: String, userId: Long, tiles: Seq[(Int, Long, Long)]): Unit =
     tiles.foreach { case (z, tx, ty) =>
       val d = Paths.get(dir, "tiles", z.toString, tx.toString)
@@ -67,7 +76,10 @@ object UsersIndexFiles {
         else Seq.empty
       if (!existing.contains(userId.toString)) {
         val lines = (existing :+ userId.toString).mkString("", "\n", "\n")
-        Files.write(f, lines.getBytes(StandardCharsets.UTF_8))
+        val tmp = d.resolve(s".$ty.users.tmp")
+        Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
 

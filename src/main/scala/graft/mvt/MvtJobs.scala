@@ -61,10 +61,14 @@ object MvtJobs {
   }
 
   /** Encode tiles. `mercator = true` (default) reproduces the REFERENCE
-    * STACK's placement byte-for-byte in geometry: linear pixel → lon/lat
+    * STACK's placement formulas: linear pixel → lon/lat
     * (TileGeometryTransform.TransformTo), then the external Mapbox writer's
     * true-Mercator quantization onto the extent grid
-    * (WebMercator.extentCoords). `mercator = false` is the direct linear
+    * (WebMercator.extentCoords). Caveat: the external NTS writer's exact
+    * float-op ORDER is not verifiable in this sandbox (no captured NTS
+    * output), so placement may differ by ±1 extent unit (≈0.1 % of a pixel)
+    * where a coordinate lands within 1 ulp of an integer boundary — see
+    * WebMercator.TilePlacer. `mercator = false` is the direct linear
     * quantization (px·extent/res) — sub-pixel-different in y only
     * (MvtCodecSpec quantifies the divergence). */
   def encodeTiles(pixels: Dataset[GlobalPixel], resolution: Int = Resolution,

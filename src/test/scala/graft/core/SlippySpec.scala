@@ -166,6 +166,11 @@ class SlippySpec extends AnyFunSuite {
     val hi = (((parent >>> 5) + 1) << (2 * 3) << 5) | 5
     assert(kids.head >= lo && kids.last < hi)
     assert(kids.forall(k => Slippy.quadKeyContains(parent, k)))
+    // zoom bounds are validated (zoom 30+ would overflow the Long packing;
+    // negative zoom is meaningless) instead of silently producing garbage
+    intercept[IllegalArgumentException](Slippy.quadKey(0, 0, 30))
+    intercept[IllegalArgumentException](Slippy.quadKey(0, 0, -1))
+    assert(Slippy.fromQuadKey(Slippy.quadKey((1L << 29) - 1, 0, 29)) === (((1L << 29) - 1, 0L, 29)))
   }
 
   test("toPolygon adds a 5% margin around the tile box (TileStatic.cs:235-268)") {

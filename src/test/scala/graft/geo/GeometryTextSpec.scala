@@ -20,6 +20,9 @@ class GeometryTextSpec extends AnyFunSuite {
     assert(GeometryText.parseWktLineString("LINESTRING Z (1 2 3, 4 5 6)") === null)
     assert(GeometryText.parseWktLineString("LINESTRING (1 2, x y)") === null)
     assert(GeometryText.parseWktLineString(null) === null)
+    // OGC: a LineString needs >= 2 points — a degenerate single-point track
+    // is dropped, exactly like the reference's NTS stack would reject it
+    assert(GeometryText.parseWktLineString("LINESTRING (4.35 50.85)") === null)
   }
 
   test("GeoJSON goldens: RFC 7946 LineStrings parse, others are null") {
@@ -35,6 +38,9 @@ class GeometryTextSpec extends AnyFunSuite {
     assert(GeometryText.parseGeoJsonLineString("""{"type":"LineString"}""") === null)
     assert(GeometryText.parseGeoJsonLineString("not json") === null)
     assert(GeometryText.parseGeoJsonLineString(null) === null)
+    // RFC 7946 §3.1.4: two or more positions required
+    assert(GeometryText.parseGeoJsonLineString(
+      """{"type":"LineString","coordinates":[[4.35,50.85]]}""") === null)
   }
 
   test("text tracks flow through the pipeline identically to direct tracks") {

@@ -121,6 +121,14 @@ class SpatialJoinsSpec extends AnyFunSuite {
     assert(SpatialJoins.pointInRing(0.5, 1.5, l))
     assert(!SpatialJoins.pointInRing(1.5, 1.5, l), "the notch is outside")
     assert(!SpatialJoins.pointInRing(2.5, 0.5, l))
+    // documented tie-break goldens: an edge the point lies ON never toggles
+    // (strict lon < xCross), so left/bottom boundaries are inside (the
+    // region lies strictly to the point's right / above) and right/top are
+    // outside — adjacent regions sharing a border claim a point only once
+    assert(SpatialJoins.pointInRing(0.0, 0.5, l), "exact left edge is inside")
+    assert(!SpatialJoins.pointInRing(2.0, 0.5, l), "exact right edge is outside")
+    assert(SpatialJoins.pointInRing(0.5, 0.0, l), "exact bottom edge is inside")
+    assert(!SpatialJoins.pointInRing(0.5, 2.0, l), "exact top edge is outside")
   }
 
   test("pointInPolygon join == brute-force ray cast over all pairs") {
