@@ -6,11 +6,33 @@ import org.apache.spark.sql.SparkSession
  * Benchmark main (driver contract): runs every SparkEntry query on
  * SPARK_GRAFT_SF_DIR, then measures the flagship tile-render critical path
  * (rasterize → k-anon agg → 14-level pyramid → MVT encode) at TWO
- * parallelism levels — local[N/4] and local[N] — the sandbox substitute for
- * the north rule's N vs 4N executor scaling (BASELINE.md protocol).
- * Prints ONE JSON line.
+ * parallelism levels — the sandbox substitute for the north rule's N vs 4N
+ * executor scaling (BENCH/BASELINE.md protocol).
+ *
+ * Flagship protocol (strong scaling on a noisy VM — identical stages vary
+ * 2-3× run to run, so the estimator is MIN and every leg must be warm):
+ *   1. one discarded warm ROUND over all legs (JIT state persists across
+ *      SparkSessions in one JVM, so after this every leg is warm);
+ *   2. `Rounds` timed rounds, INTERLEAVED over the legs (2, 8, 32 cores in
+ *      rotation) so slow host drift hits every leg equally, per-leg best;
+ *   3. sanity gates BEFORE emitting: strong-scaling efficiency must be in
+ *      (0, 1.05] — noise under min-statistics can only inflate a leg, so an
+ *      efficiency > 1.05 means the LOW leg is still inflated and an
+ *      implausibly low one means the HIGH leg is — the offending leg is
+ *      automatically re-measured once (extra runs merged by min) and the
+ *      ratio recomputed; if a gate still fails the record carries an
+ *      explicit "anomaly" field rather than a silently absurd number.
+ *
+ * Output: the LAST stdout line is a SHORT summary JSON (totals + flagship
+ * block only — small enough for the driver's tail window); the full record
+ * including the per-query map goes to BENCH_LAST.json (and is printed once,
+ * earlier, for the log).
  */
 object Bench {
+  /** Timed rounds per leg after the warm round. */
+  val Rounds = 3
+  /** Extra runs when a leg is re-measured by a sanity gate. */
+  val RemeasureRuns = 2
 
   /** One flagship pass (rasterize → k-anon → pyramid → MVT) in an existing
     * session; returns (tiles, seconds). `input` is "direct:N" (N synthesized
@@ -29,14 +51,11 @@ object Bench {
     (tiles, secs)
   }
 
-  /** Best-of-N JIT-warm flagship timing at one parallelism level (best-of
-    * because identical stages on this VM vary 2-3× run to run — BASELINE.md;
-    * min is applied identically at every level, so ratios stay fair).
-    * AQE is OFF on this path: the strong-scaling protocol fixes the plan
-    * (64 shuffle partitions at every cluster size), so AQE's per-exchange
-    * replan barriers would only add serial time. */
-  private def flagshipTilesPerSec(cpus: Int, input: String, warmups: Int = 1,
-                                  reps: Int = 2): (Double, Long, Double) = {
+  /** One flagship run in a FRESH session at `cpus` (session startup is
+    * outside the timed region). AQE is OFF on this path: the strong-scaling
+    * protocol fixes the plan (64 shuffle partitions at every cluster size),
+    * so AQE's per-exchange replan barriers would only add serial time. */
+  private def runLeg(cpus: Int, input: String): (Long, Double) = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
@@ -48,19 +67,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    (1 to warmups).foreach(_ => flagshipOnce(spark, input))
-    val runs = (1 to reps).map(_ => flagshipOnce(spark, input))
-    spark.stop()
-    val tiles = runs.head._1
-    val secs = runs.map(_._2).min
-    (tiles / secs, tiles, secs)
+    try flagshipOnce(spark, input) finally spark.stop()
   }
+
+  private def r3(v: Double): Double = math.rint(v * 1000) / 1000.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    // per-query timings at full parallelism
+    // ---- per-query timings at full parallelism ----
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -77,53 +93,89 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // cache-ownership contract: a query may persist intermediates for its
-      // own lifetime (e.g. HeatmapPipeline.run's z14); the harness owns the
-      // session and clears the cache between queries so nothing leaks into
-      // the next measurement.
+      // own lifetime; the harness owns the session and clears the cache
+      // between queries so nothing leaks into the next measurement.
       spark.sharedState.cacheManager.clearCache()
       name -> dt
     }
     val nEvents = graft.queries.Tables.events(spark, sfDir).count()
     spark.stop()
 
-    // Flagship tile-render critical path, N vs 4N cores on the SAME input.
+    // ---- flagship N vs 4N cores on the SAME input ----
     // Input = 6× the sf's track count: at bench SF the per-stage work is
     // otherwise too short to measure compute rather than fixed scheduling
-    // cost (BENCH/BASELINE.md §scaling). Headline pair is 2→8 cores — both
-    // levels below this VM's ~16-thread memory-path saturation knee (the
-    // raw-CPU microbench scales perfectly to 32; memory-touching work does
-    // not — a single-box artifact a multi-node cluster doesn't share). The
-    // saturated 8→32 pair is also measured and reported, not hidden.
-    // 6× input: long enough stages that the ~2.3 s fixed per-run cost and
-    // the VM's 2-3× stage jitter stop dominating the ratio. The 2-core
-    // level skips the dedicated warmup — a ~90 s run JIT-warms itself and
-    // best-of-3 discards the cold first rep.
+    // cost. Headline pair is 2→8 cores — both below this VM's ~16-thread
+    // memory-path saturation knee (the raw-CPU microbench scales perfectly
+    // to 32; memory-touching work does not — a single-box artifact a
+    // multi-node cluster doesn't share). The saturated 8→32 pair is also
+    // measured and reported, not hidden.
     val input = s"direct:${6 * nEvents}"
-    val (tpsLow, _, secsLow) = flagshipTilesPerSec(2, input, warmups = 0, reps = 3)
-    val (tpsMid, _, secsMid) = flagshipTilesPerSec(8, input, reps = 3)
-    val (tpsHigh, tiles, secsHigh) = flagshipTilesPerSec(cpus, input)
-    val efficiency = (tpsMid / tpsLow) / (8.0 / 2.0)
-    val efficiencyHigh = (tpsHigh / tpsMid) / (cpus / 8.0)
+    val legs = Seq(2, 8, cpus).distinct
+    val times = scala.collection.mutable.Map.empty[Int, List[Double]].withDefaultValue(Nil)
+    var tiles = 0L
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""flagship":{"tiles":$tiles,"input":"$input","cpus_low":2,"cpus_high":8,""" +
-      s""""sec_low":$secsLow,"sec_high":$secsMid,""" +
-      s""""tiles_per_sec_low":$tpsLow,"tiles_per_sec_high":$tpsMid,""" +
-      s""""scaling_efficiency":$efficiency,""" +
-      s""""pair_8_to_$cpus":{"sec_low":$secsMid,"sec_high":$secsHigh,""" +
-      s""""tiles_per_sec_low":$tpsMid,"tiles_per_sec_high":$tpsHigh,""" +
-      s""""scaling_efficiency":$efficiencyHigh},""" +
-      s""""note":"headline pair 2->8 cores (both below this VM's ~16-thread memory-path saturation; see BENCH/BASELINE.md)"}}"""
-    // the driver parses the LAST stdout line that is bare JSON; sbt's logger
-    // prefixes [info], so print on BOTH streams (run/outputStrategy is also
-    // set to StdoutOutput in build.sbt) and drop a file copy for good measure
-    println(json)
-    System.out.flush()
+    System.err.println(s"[bench] flagship warm round over legs ${legs.mkString(",")}")
+    legs.foreach { c => tiles = runLeg(c, input)._1 } // discarded: JIT + page-cache warm
+    (1 to Rounds).foreach { round =>
+      legs.foreach { c =>
+        val (_, secs) = runLeg(c, input)
+        times(c) ::= secs
+        System.err.println(f"[bench] flagship leg=$c round=$round sec=$secs%.2f")
+      }
+    }
+    def best(c: Int): Double = times(c).min
+    def remeasure(c: Int): Unit = (1 to RemeasureRuns).foreach { _ =>
+      val (_, secs) = runLeg(c, input)
+      times(c) ::= secs
+      System.err.println(f"[bench] flagship re-measure leg=$c sec=$secs%.2f")
+    }
+
+    // sanity gates (min-statistics: noise only inflates a leg, so the gate
+    // identifies WHICH leg is still inflated and re-measures it once)
+    def effOf(lo: Int, hi: Int): Double = (best(lo) / best(hi)) / (hi.toDouble / lo)
+    var anomaly: Option[String] = None
+    if (effOf(2, 8) > 1.05) remeasure(2) // 2-core leg inflated → eff impossibly > 1
+    else if (effOf(2, 8) < 0.65) remeasure(8) // 8-core leg inflated → eff implausibly low
+    if (effOf(2, 8) > 1.05 || effOf(2, 8) <= 0)
+      anomaly = Some(f"headline 2->8 efficiency ${effOf(2, 8)}%.3f outside (0, 1.05] after re-measure")
+    if (legs.length > 2 && best(cpus) > best(8)) {
+      remeasure(cpus) // more cores must never be SLOWER than fewer
+      if (best(cpus) > best(8))
+        anomaly = Some(anomaly.fold("")(_ + "; ") +
+          f"$cpus-core leg (${best(cpus)}%.1f s) slower than 8-core (${best(8)}%.1f s) after re-measure")
+    }
+
+    val secsLow = best(2); val secsMid = best(8); val secsHigh = best(cpus)
+    val tpsLow = tiles / secsLow; val tpsMid = tiles / secsMid; val tpsHigh = tiles / secsHigh
+    val efficiency = effOf(2, 8)
+    val efficiencyHigh = effOf(8, cpus)
+
+    val flagshipJson =
+      s"""{"tiles":$tiles,"input":"$input","protocol":"interleaved, warm, best of ${Rounds}+ per leg, gated (0,1.05]",""" +
+      s""""cpus_low":2,"cpus_high":8,"sec_low":${r3(secsLow)},"sec_high":${r3(secsMid)},""" +
+      s""""tiles_per_sec_low":${r3(tpsLow)},"tiles_per_sec_high":${r3(tpsMid)},""" +
+      s""""scaling_efficiency":${r3(efficiency)},""" +
+      s""""pair_8_to_$cpus":{"sec_low":${r3(secsMid)},"sec_high":${r3(secsHigh)},""" +
+      s""""tiles_per_sec_low":${r3(tpsMid)},"tiles_per_sec_high":${r3(tpsHigh)},""" +
+      s""""scaling_efficiency":${r3(efficiencyHigh)}},""" +
+      anomaly.fold("")(a => s""""anomaly":"$a",""") +
+      s""""note":"headline pair 2->8 cores (below this VM's ~16-thread memory-path saturation; see BENCH/BASELINE.md)"}"""
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val total = r3(results.map(_._2).sum)
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship":$flagshipJson}"""
+    val shortJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""queries_file":"BENCH_LAST.json","sf":"$sfDir","flagship":$flagshipJson}"""
+
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-      (json + "\n").getBytes("UTF-8"))
+      (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
+    // full record once for the log; the SHORT summary is the very last line
+    // (the driver keeps only a tail window — round 2's 3 KB line was
+    // truncated mid-JSON and failed to parse)
+    println(fullJson)
+    println(shortJson)
+    System.out.flush()
   }
 }
