@@ -55,22 +55,52 @@ object ImageOps {
     }
   }
 
+  /** Quadrant RGB means of a decoded image (pure kernel, shared by the
+    * q_img_features query and its driver-side VALUES oracle). */
+  def quadrantMeans(img: BufferedImage, w: Int, h: Int): (Double, Double, Double, Double) = {
+    def mean(x0: Int, y0: Int, x1: Int, y1: Int): Double = {
+      var sum = 0L; var cnt = 0L
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+          cnt += 3; x += 1
+        }
+        y += 1
+      }
+      if (cnt == 0) 0.0 else sum.toDouble / cnt
+    }
+    (mean(0, 0, w / 2, h / 2), mean(w / 2, 0, w, h / 2),
+      mean(0, h / 2, w / 2, h), mean(w / 2, h / 2, w, h))
+  }
+
+  /** Pure per-row thumbnail kernel (also the driver-side oracle's
+    * recomputation path — deterministic for a given JDK). */
+  def thumbnailOf(r: ImageRow, targetW: Int, targetH: Int): Thumbnail = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+    val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.drawImage(src.getScaledInstance(targetW, targetH, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+    g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", out)
+    Thumbnail(r.image_id, targetW, targetH, out.toByteArray)
+  }
+
   /** Real resize to a thumbnail (PNG), batched per partition. */
   def resize(images: Dataset[ImageRow], targetW: Int = 16, targetH: Int = 16)(
       implicit spark: SparkSession): Dataset[Thumbnail] = {
     import spark.implicits._
-    images.mapPartitions { batch =>
-      batch.map { r =>
-        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
-        val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
-        val g = dst.createGraphics()
-        g.drawImage(src.getScaledInstance(targetW, targetH, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
-        g.dispose()
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(dst, "png", out)
-        Thumbnail(r.image_id, targetW, targetH, out.toByteArray)
-      }
-    }
+    images.mapPartitions(batch => batch.map(r => thumbnailOf(r, targetW, targetH)))
+  }
+
+  /** STUB frame count for one media payload (deterministic; exposed so the
+    * driver-side oracle can recompute the expectation). */
+  def stubFrameCount(id: String, nBytes: Int, maxFrames: Int = 4): Int = {
+    val seed = mix64(nBytes.toLong ^ id.hashCode.toLong)
+    1 + (math.abs(seed) % maxFrames).toInt
   }
 
   /** STUB: video frame sampling. A real implementation would open the
@@ -84,7 +114,7 @@ object ImageOps {
       // one "decoder" per partition — the mapInPandas-like batch boundary
       batch.flatMap { case (id, bytes) =>
         val seed = mix64(bytes.length.toLong ^ id.hashCode.toLong)
-        val n = 1 + (math.abs(seed) % maxFrames).toInt
+        val n = stubFrameCount(id, bytes.length, maxFrames)
         (0 until n).iterator.map { i =>
           val fakeFrame = Array.tabulate[Byte](16)(j => (mix64(seed + i * 97 + j) & 0xFF).toByte)
           FrameSample(id, i, i * everyMs, fakeFrame)
