@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 import graft.io.TileStore
 import graft.model.Schemas.{GlobalPixel, Track}
@@ -26,10 +27,15 @@ import graft.stream.StreamingHeatmap
  *             RefreshTime==0 poll loop): each micro-batch flows through the
  *             checkpointed dirty-tile MERGE maintenance, exactly-once.
  *   batch   — id-window batches through the same store (Worker run-once).
- * Both end with the MVT export of the committed state ({z}/{x}/{y}.mvt,
- * Worker.cs:257-279).
+ * Both end with the INCREMENTAL MVT export: only tiles dirtied since the
+ * last export (plus their ancestor chain) are re-encoded and rewritten —
+ * the reference's own contract (`WriteVectorTiles(heatMap, updatedTiles)`,
+ * Worker.cs:257-279) — so the export is O(dirty), not O(world). A TileJSON
+ * metadata file (mvt.json semantics, HeatMap.Tiles.Service/mvt.json:1-22)
+ * ships next to the tile tree for tile-server consumers.
  */
 object ServiceMain {
+  val MaxZoom = 14
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().appName("graft-heatmap-service").getOrCreate()
@@ -60,10 +66,83 @@ object ServiceMain {
       case other => throw new IllegalArgumentException(s"spark.graft.mode=$other")
     }
 
-    // export the committed state as the reference's tile tree
-    store.read("global", Some(Incremental.globalSchema)).foreach { g =>
-      val tiles = graft.mvt.MvtJobs.encodeTiles(g.as[GlobalPixel])
-      graft.mvt.MvtJobs.writeMvtFiles(tiles, s"${cfg.outputPath}/mvt")
+    exportTiles(store, s"${cfg.outputPath}/mvt")
+  }
+
+  /** Dirty z14 tiles + the full ancestor chain of each — the exporter's
+    * target set (the reference accumulates exactly this in `updatedTiles`:
+    * the touched tiles at every zoom, Worker.cs:167-222,257-279). */
+  def withAncestors(dirty: Set[(Long, Long)], maxZoom: Int = MaxZoom): Set[(Int, Long, Long)] =
+    dirty.flatMap { case (tx, ty) =>
+      (0 to maxZoom).map(z => (z, tx >> (maxZoom - z), ty >> (maxZoom - z)))
     }
+
+  /**
+   * Incremental MVT export of the committed state: re-encode ONLY the tiles
+   * dirtied by commits since the last export (plus ancestors), rewrite
+   * exactly those `{z}/{x}/{y}.mvt` files — byte-identical to what a full
+   * re-export would write for them (`encodeTiles` groups per tile, so the
+   * subset encodes independently). First export (no EXPORTED marker) is a
+   * full export. The marker moves only AFTER the files land: a crash
+   * mid-export re-exports the same tiles idempotently.
+   */
+  def exportTiles(store: TileStore, mvtDir: String)(implicit spark: SparkSession): Unit = {
+    val head = store.currentVersion
+    val since = store.exportedVersion
+    if (head <= since) return
+    store.read("global", Some(Incremental.globalSchemaP)).foreach { g =>
+      val res = graft.raster.Rasterize.Resolution
+      val subset =
+        if (since == 0) g // first export: everything
+        else {
+          val targets = withAncestors(store.dirtyTilesSince(since))
+          if (targets.isEmpty) return ()
+          import spark.implicits._
+          val targetDf = targets.toSeq.sorted.toDF("z", "tx", "ty")
+          // partition pruning first (pb + z are hive partition columns),
+          // exact tile selection via broadcast semi-join
+          val buckets = targets.map { case (_, tx, ty) => TileStore.bucketOf(tx, ty) }
+            .toSeq.distinct.map(Integer.valueOf)
+          val pruned =
+            if (g.columns.contains("pb")) g.where(col("pb").isin(buckets: _*)) else g
+          pruned
+            .withColumn("tx", floor(col("gx") / res).cast("long"))
+            .withColumn("ty", floor(col("gy") / res).cast("long"))
+            .join(broadcast(targetDf), Seq("z", "tx", "ty"), "left_semi")
+            .drop("tx", "ty")
+        }
+      import spark.implicits._
+      val tiles = graft.mvt.MvtJobs.encodeTiles(
+        subset.select("z", "gx", "gy", "users", "trips").as[GlobalPixel])
+      graft.mvt.MvtJobs.writeMvtFiles(tiles, mvtDir)
+    }
+    writeTileJson(mvtDir)
+    store.markExported(head)
+  }
+
+  /** TileJSON metadata next to the tile tree — the reference ships this
+    * file with the service (HeatMap.Tiles.Service/mvt.json:1-22): layer id
+    * "heatmap", zoom range 0..14, pbf format. */
+  def writeTileJson(mvtDir: String, urlTemplate: String = "{z}/{x}/{y}.mvt"): Unit = {
+    val json =
+      s"""{
+         |  "tiles": ["$urlTemplate"],
+         |  "maxzoom": $MaxZoom,
+         |  "minzoom": 0,
+         |  "name": "heatmap",
+         |  "description": "Contains trips heatmap.",
+         |  "format": "pbf",
+         |  "id": "heatmap",
+         |  "basename": "heatmap",
+         |  "vector_layers": [
+         |    {"maxzoom": $MaxZoom, "minzoom": 0, "id": "heatmap", "description": ""}
+         |  ],
+         |  "version": "1.0",
+         |  "tilejson": "2.0.0"
+         |}
+         |""".stripMargin
+    val dir = java.nio.file.Paths.get(mvtDir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("mvt.json"), json.getBytes("UTF-8"))
   }
 }

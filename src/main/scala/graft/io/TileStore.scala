@@ -1,9 +1,9 @@
 package graft.io
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /**
@@ -17,22 +17,33 @@ import org.apache.spark.sql.types.StructType
  * Worker.cs:122-129; we commit data + cursor atomically instead).
  *
  * Layout under `root`:
- *   <name>/v<N>/...parquet      immutable snapshot versions
+ *   <name>/v<N>/...parquet      immutable snapshot versions (optionally
+ *                               hive-partitioned, e.g. z=14/pb=3/)
  *   HEAD                        text: committed version number
+ *   EXPORTED                    text: last version whose dirty tiles have
+ *                               been exported as vector tiles
  *   commits.jsonl               one JSON line per committed batch:
  *                               batch id-window, row/byte metrics per
- *                               relation and per partition (lineage)
+ *                               relation and per partition (lineage), and
+ *                               the batch's dirty z14 tile set
  *
- * Readers resolve HEAD → version dir; a crash mid-write leaves a dangling
- * v<N+1> directory that is never referenced and is overwritten by the
- * retried batch. (On a cluster this maps 1:1 onto an Iceberg table commit;
- * plain parquet + HEAD keeps the sandbox dependency-free.)
+ * Scale posture — DIRTY-PARTITION commits: big relations are
+ * hive-partitioned by a TILE BUCKET (`pb`, plus `z` for the pyramid);
+ * a batch rewrites ONLY the partitions its dirty tiles live in and
+ * carries every clean partition forward into the new version as
+ * HARDLINKS of the previous version's files (no data copy — the plain-
+ * filesystem analog of an Iceberg commit reusing unchanged manifests).
+ * Per-batch write volume is therefore bounded by the dirty-tile set ×
+ * bucket granularity, not the world. Readers resolve HEAD → version dir;
+ * a crash mid-write leaves a dangling v<N+1> directory that is never
+ * referenced and is overwritten by the retried batch.
  */
 class TileStore(root: String)(implicit spark: SparkSession) {
   private val rootPath = Paths.get(root)
   Files.createDirectories(rootPath)
 
   private def headFile = rootPath.resolve("HEAD")
+  private def exportedFile = rootPath.resolve("EXPORTED")
   private def commitsFile = rootPath.resolve("commits.jsonl")
 
   def currentVersion: Long =
@@ -47,23 +58,40 @@ class TileStore(root: String)(implicit spark: SparkSession) {
 
   /** Read a snapshot. `schema` makes empty snapshots readable (a relation
     * legitimately empty after a batch writes only _SUCCESS — parquet can't
-    * infer a schema from zero files). */
+    * infer a schema from zero files). Hive partition columns (z, pb) are
+    * appended from the directory names when partition dirs exist. */
   def read(name: String, schema: Option[StructType] = None): Option[DataFrame] =
     if (currentVersion > 0 && hasSnapshot(name)) {
       val reader = schema.fold(spark.read)(sc => spark.read.schema(sc))
       Some(reader.parquet(snapshotPath(name)))
     } else None
 
-  /** S4 — tile point lookup: the global relation pruned to one (z, tx, ty)
-    * tile. z is a physical partition (directory pruning); tx/ty prune via
-    * parquet min/max row-group stats. */
-  def tile(z: Int, tx: Long, ty: Long, res: Int = 512,
-           schema: Option[StructType] = None): Option[DataFrame] =
-    read("global", schema).map { g =>
-      import org.apache.spark.sql.functions._
-      g.where(col("z") === z &&
-        floor(col("gx") / res) === tx && floor(col("gy") / res) === ty)
+  /** Read a snapshot pruned to a set of tile buckets (and optionally one
+    * pyramid level): the filters land on the hive PARTITION columns, so
+    * Spark prunes directories — the scan is bounded by the dirty buckets,
+    * never the world. Falls back to an unpruned read when the snapshot has
+    * no partition dirs (empty relation). */
+  def readBuckets(name: String, schema: Option[StructType], buckets: Seq[Int],
+                  z: Option[Int] = None): Option[DataFrame] =
+    read(name, schema).map { df =>
+      import org.apache.spark.sql.functions.col
+      if (!df.columns.contains("pb")) df // empty snapshot: nothing to prune
+      else {
+        val byBucket = df.where(col("pb").isin(buckets.map(Integer.valueOf): _*))
+        z.fold(byBucket)(lv => byBucket.where(col("z") === lv))
+      }
     }
+
+  /** S4 — tile point lookup: the global relation pruned to one (z, tx, ty)
+    * tile. z and the tile bucket are physical partitions (directory
+    * pruning); tx/ty prune via parquet min/max row-group stats. */
+  def tile(z: Int, tx: Long, ty: Long, res: Int = 512,
+           schema: Option[StructType] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    readBuckets("global", schema, Seq(TileStore.bucketOf(tx, ty)), Some(z)).map { g =>
+      g.where(floor(col("gx") / res) === tx && floor(col("gy") / res) === ty)
+    }
+  }
 
   /** S5 — tile enumeration: distinct (z, tx, ty) with data (fixes the
     * reference's glob-extension bug, HeatMap.cs:38-62 vs :148). */
@@ -77,6 +105,10 @@ class TileStore(root: String)(implicit spark: SparkSession) {
   /** Last committed batch cursor (the reference's LastContributionId). */
   def lastCommittedId: Long = committedBatches.map(_._2).foldLeft(-1L)(math.max)
 
+  private def commitLines: Seq[String] =
+    if (!Files.exists(commitsFile)) Seq.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(commitsFile)).asScala.toSeq
+
   /** (fromId, toId) windows already committed — resume skips these.
     *
     * A commit record is authoritative only up to HEAD: the record is
@@ -87,42 +119,86 @@ class TileStore(root: String)(implicit spark: SparkSession) {
     * re-appends; duplicate lines for the same version are harmless since
     * HEAD decides). Without the filter the batch would be skipped forever —
     * silent data loss behind an "exactly-once" facade. */
-  def committedBatches: Seq[(Long, Long)] =
-    if (!Files.exists(commitsFile)) Seq.empty
-    else {
-      val head = currentVersion
-      val Version = """"version":\s*(\d+)""".r.unanchored
-      val From = """"from_id":\s*(-?\d+)""".r.unanchored
-      val To = """"to_id":\s*(-?\d+)""".r.unanchored
-      scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(commitsFile)).asScala.toSeq
-        .flatMap { line =>
-          (line, line, line) match {
-            case (Version(v), From(f), To(t)) if v.toLong <= head => Some((f.toLong, t.toLong))
-            case _ => None
-          }
-        }
-    }
-
-  private def dirBytes(path: String): Long = {
-    val d = Paths.get(path)
-    if (!Files.exists(d)) 0L
-    else {
-      val s = Files.walk(d)
-      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size).sum
-      finally s.close()
+  def committedBatches: Seq[(Long, Long)] = {
+    val head = currentVersion
+    val Version = """"version":\s*(\d+)""".r.unanchored
+    val From = """"from_id":\s*(-?\d+)""".r.unanchored
+    val To = """"to_id":\s*(-?\d+)""".r.unanchored
+    commitLines.flatMap { line =>
+      (line, line, line) match {
+        case (Version(v), From(f), To(t)) if v.toLong <= head => Some((f.toLong, t.toLong))
+        case _ => None
+      }
     }
   }
 
+  /** Last version whose dirty tiles were exported as vector tiles (0 =
+    * never exported → the exporter does a full export). */
+  def exportedVersion: Long =
+    if (Files.exists(exportedFile))
+      new String(Files.readAllBytes(exportedFile), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+
+  /** Record that everything up to `version` has been exported (atomic;
+    * written AFTER the tile files land, so a crash mid-export re-exports —
+    * idempotent, the rewrite is byte-identical). */
+  def markExported(version: Long): Unit = {
+    val tmp = rootPath.resolve("EXPORTED.tmp")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, exportedFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Union of the dirty z14 tile sets of every committed batch with
+    * `sinceVersion < version <= HEAD` (from the commit lineage — bounded by
+    * the same per-batch contract as the reference's in-memory HashSet). */
+  def dirtyTilesSince(sinceVersion: Long): Set[(Long, Long)] = {
+    val head = currentVersion
+    val Version = """"version":\s*(\d+)""".r.unanchored
+    val Pair = """\[(\d+),\s*(\d+)\]""".r
+    commitLines.flatMap { line =>
+      line match {
+        case Version(v) if v.toLong > sinceVersion && v.toLong <= head =>
+          val start = line.indexOf("\"dirty_tiles\": [")
+          if (start < 0) Seq.empty
+          else {
+            // the list ends at the first ']' not closing a pair
+            val body = line.substring(start + "\"dirty_tiles\": [".length)
+            val end = {
+              var depth = 0; var i = 0; var e = -1
+              while (i < body.length && e < 0) {
+                body.charAt(i) match {
+                  case '[' => depth += 1
+                  case ']' => if (depth == 0) e = i else depth -= 1
+                  case _ =>
+                }
+                i += 1
+              }
+              e
+            }
+            if (end < 0) Seq.empty
+            else Pair.findAllMatchIn(body.substring(0, end))
+              .map(p => (p.group(1).toLong, p.group(2).toLong)).toSeq
+          }
+        case _ => Seq.empty
+      }
+    }.toSet
+  }
+
+  private def dirBytes(path: Path): Long =
+    if (!Files.exists(path)) 0L
+    else {
+      val s = Files.walk(path)
+      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size).sum
+      finally s.close()
+    }
+
   /** Write-time stats from parquet FOOTERS (driver-side metadata reads, no
     * Spark job, no data scan — the Iceberg-manifest analog): total rows +
-    * rows per partition-directory value. Replaces the old post-write
-    * `read.count()` + `groupBy(c).count()` re-scan, which doubled commit
-    * latency with two extra jobs per relation. */
-  private def footerStats(path: String, partitioned: Boolean): (Long, Map[String, Long]) = {
+    * rows per first-level partition-directory value. */
+  private def footerStats(path: Path, partitioned: Boolean): (Long, Map[String, Long]) = {
     val conf = spark.sessionState.newHadoopConf()
-    val d = Paths.get(path)
-    if (!Files.exists(d)) return (0L, Map.empty)
-    val s = Files.walk(d)
+    if (!Files.exists(path)) return (0L, Map.empty)
+    val s = Files.walk(path)
     val files =
       try {
         import scala.jdk.CollectionConverters._
@@ -140,7 +216,7 @@ class TileStore(root: String)(implicit spark: SparkSession) {
       total += n
       if (partitioned) {
         // hive-style dir name "<col>=<value>" directly under the snapshot root
-        val rel = d.relativize(f)
+        val rel = path.relativize(f)
         if (rel.getNameCount > 1) {
           val seg = rel.getName(0).toString
           val v = seg.indexOf('=') match { case -1 => seg; case i => seg.substring(i + 1) }
@@ -151,32 +227,128 @@ class TileStore(root: String)(implicit spark: SparkSession) {
     (total, perPart.toMap)
   }
 
+  /** Leaf partition dirs (depth = `depth` of `col=value` segments) under a
+    * snapshot dir, as relative strings like "z=14/pb=3". */
+  private def leafPartitionDirs(snapshot: Path, depth: Int): Seq[String] =
+    if (!Files.exists(snapshot)) Seq.empty
+    else {
+      def walk(dir: Path, level: Int): Seq[Path] =
+        if (level == depth) Seq(dir)
+        else {
+          val s = Files.list(dir)
+          val subs = try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.filter(p =>
+              Files.isDirectory(p) && p.getFileName.toString.contains("=")).toList
+          } finally s.close()
+          subs.flatMap(walk(_, level + 1))
+        }
+      walk(snapshot, 0).map(p => snapshot.relativize(p).toString)
+    }
+
+  /** Hardlink every regular file under `from` into the same relative
+    * location under `to` (no data copy — clean partitions carried forward
+    * into the new immutable version). */
+  private def linkDir(from: Path, to: Path): Unit = {
+    val s = Files.walk(from)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+        val dst = to.resolve(from.relativize(f))
+        Files.createDirectories(dst.getParent)
+        Files.createLink(dst, f)
+      }
+    } finally s.close()
+  }
+
   /**
    * Write the given relations as version N+1 and commit atomically:
-   * parquet first, then the commit record, then HEAD (rename). Metrics
-   * capture row counts per relation and per partition column value
-   * (lineage), plus byte sizes.
+   * parquet first, then the commit record, then HEAD (rename). `full`
+   * relations are rewritten completely; `partial` relations write only
+   * their dirty partitions and carry clean partitions forward as
+   * hardlinks. Metrics capture rows/bytes WRITTEN this commit (per
+   * relation and per partition value — lineage) plus carried-partition
+   * counts; `dirtyTiles` (the batch's z14 dirty set) rides in the record
+   * for the incremental exporter.
    */
   def commit(batchFrom: Long, batchTo: Long,
-             relations: Map[String, (DataFrame, Option[String])]): Long = {
-    val next = currentVersion + 1
-    val metrics = relations.map { case (name, (df, partitionBy)) =>
-      val path = rootPath.resolve(name).resolve(s"v$next").toString
+             relations: Map[String, (DataFrame, Option[String])],
+             partial: Map[String, TileStore.Partial] = Map.empty,
+             dirtyTiles: Option[Seq[(Long, Long)]] = None): Long = {
+    val prev = currentVersion
+    val next = prev + 1
+    val fullMetrics = relations.map { case (name, (df, partitionBy)) =>
+      val path = rootPath.resolve(name).resolve(s"v$next")
       val writer = df.write.mode("overwrite")
-      partitionBy.fold(writer)(c => writer.partitionBy(c)).parquet(path)
+      partitionBy.fold(writer)(c => writer.partitionBy(c)).parquet(path.toString)
       val (rows, partRows) = footerStats(path, partitionBy.isDefined)
       val perPartition =
         if (partitionBy.isEmpty) "{}"
         else partRows.map { case (v, n) => s""""$v": $n""" }.toSeq.sorted.mkString("{", ", ", "}")
       s""""$name": {"rows": $rows, "bytes": ${dirBytes(path)}, "partition_rows": $perPartition}"""
     }
+    val partialMetrics = partial.map { case (name, p) =>
+      val path = rootPath.resolve(name).resolve(s"v$next")
+      // a retried batch may find a dangling v<next> from a crash — overwrite
+      p.rows.write.mode("overwrite").partitionBy(p.partitionCols: _*).parquet(path.toString)
+      val (rows, partRows) = footerStats(path, partitioned = true)
+      val writtenBytes = dirBytes(path)
+      // carry clean partitions forward from the previous version as links
+      val prevPath = rootPath.resolve(name).resolve(s"v$prev")
+      val carried =
+        if (prev == 0 || !hasSnapshot(name, prev)) 0
+        else {
+          val clean = leafPartitionDirs(prevPath, p.partitionCols.length)
+            .filterNot(p.dirtyDirs.contains)
+          clean.foreach { rel =>
+            val dst = path.resolve(rel)
+            // the overwrite above wiped v<next>, so only genuinely-new
+            // partitions exist there; a clean dir can't collide
+            linkDir(prevPath.resolve(rel), dst)
+          }
+          clean.size
+        }
+      val perPartition =
+        partRows.map { case (v, n) => s""""$v": $n""" }.toSeq.sorted.mkString("{", ", ", "}")
+      s""""$name": {"rows": $rows, "bytes": $writtenBytes, "partition_rows": $perPartition, """ +
+        s""""written_dirs": ${p.dirtyDirs.size}, "carried_dirs": $carried}"""
+    }
+    val tilesJson = dirtyTiles.fold("") { ts =>
+      ts.map { case (tx, ty) => s"[$tx, $ty]" }.mkString(""", "dirty_tiles": [""", ", ", "]")
+    }
     val record =
-      s"""{"version": $next, "from_id": $batchFrom, "to_id": $batchTo, "relations": {${metrics.mkString(", ")}}}"""
+      s"""{"version": $next, "from_id": $batchFrom, "to_id": $batchTo$tilesJson, """ +
+        s""""relations": {${(fullMetrics ++ partialMetrics).mkString(", ")}}}"""
     Files.write(commitsFile, (record + "\n").getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     val tmp = rootPath.resolve("HEAD.tmp")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, headFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     next
+  }
+}
+
+object TileStore {
+  /** A partial (dirty-partition-only) write: `rows` must contain EXACTLY
+    * the new content of the dirty partitions; every other partition of the
+    * previous version is hardlinked forward unchanged. */
+  final case class Partial(rows: DataFrame, partitionCols: Seq[String], dirtyDirs: Set[String])
+
+  /** Tile-bucket count for the partitioned relations. Sized so a sandbox
+    * store gets real multi-partition layouts without thousands of tiny
+    * dirs; at planetary scale this is the knob that bounds how much clean
+    * data a dirty tile drags into its partition rewrite (scan/write per
+    * batch ≈ world × dirtyBuckets / Buckets). */
+  val Buckets = 64
+
+  /** Bucket of a z14 tile (driver-side form). */
+  def bucketOf(tx: Long, ty: Long): Int =
+    ((tx * 31 + ty) % Buckets).toInt
+
+  /** Bucket of a z14 tile (column form — same arithmetic, so Spark filters
+    * on the partition column agree with driver-side sets). */
+  def bucketCol(tx: Column, ty: Column): Column = {
+    import org.apache.spark.sql.functions._
+    pmod(tx * 31 + ty, lit(Buckets)).cast("int")
   }
 }

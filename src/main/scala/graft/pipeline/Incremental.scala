@@ -17,18 +17,25 @@ import graft.raster.Rasterize
  *      the reference's at-least-once double-apply, Worker.cs:122-129)
  *   2. rasterize the batch → delta user-pixels
  *   3. MERGE delta into the persistent user_pixels relation
- *      (full-outer + saturating add = Diffs/HeatMapExtensions.cs:49-131)
+ *      (full-outer + saturating add = Diffs/HeatMapExtensions.cs:49-131) —
+ *      reading ONLY the dirty tile-bucket partitions (directory pruning)
  *   4. recompute the global z14 layer ONLY for dirty tiles
- *      (Worker.cs:167-222), splice into the snapshot
- *   5. roll the dirty ancestor chain up the pyramid from the spliced
- *      child level (HeatMapExtensions.cs:148-214), splice each level
- *   6. commit all relations + cursor atomically with lineage metrics
+ *      (Worker.cs:167-222), splice into the dirty buckets
+ *   5. rebuild each pyramid level z−1 from level z's SPLICED rows restricted
+ *      to the dirty subtree (HeatMapExtensions.cs:148-214 — the reference's
+ *      own level-by-level parent rebuild): per level the scan is bounded by
+ *      the children of the dirty parents, partition-pruned to their buckets,
+ *      never the whole level
+ *   6. commit atomically with lineage metrics: only the DIRTY partitions of
+ *      user_pixels/global are written; clean partitions carry forward into
+ *      the new version as hardlinks (TileStore.Partial)
  *
  * Every pixel-grain step is keyed/partitioned; the dirty-TILE set is the
  * one deliberately driver-side structure — bounded by the id-window
  * (maxContributions × tiles-per-track), the same contract as the
  * reference's in-memory HashSet (Worker.cs:99-103) — so at 10^12-row scale
- * the per-batch cost is bounded by the touched-tile subtree, not the world.
+ * the per-batch scan AND write cost is bounded by the touched-tile subtree
+ * × bucket granularity (TileStore.Buckets), not the world.
  */
 object Incremental {
   val Res = Rasterize.Resolution
@@ -37,6 +44,9 @@ object Incremental {
 
   private def tileOf(gxCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(gxCol / Res).cast("long")
+
+  private def pbOf(df: DataFrame): DataFrame =
+    df.withColumn("pb", TileStore.bucketCol(tileOf(col("gx")), tileOf(col("gy"))))
 
   /** Merge batch delta into persistent user pixels: full-outer sum with the
     * reference's u32 saturation. */
@@ -74,53 +84,17 @@ object Incremental {
     if (store.committedBatches.contains((fromId, toId)))
       return BatchResult(store.currentVersion, skipped = true)
 
+    import spark.implicits._
     val delta = HeatmapAgg.userGrain(Rasterize.userPixels(batch)).toDF()
     delta.persist()
 
-    // 3. merge user pixels
-    // localCheckpoint truncates logical lineage: the per-level splice loop
-    // below would otherwise nest 15 plans deep and blow up plan
-    // stringification/AQE (observed OOM)
-    val merged = mergeUserPixels(store.read("user_pixels", Some(userPixelsSchema)), delta)
-      .localCheckpoint(false)
-
-    // 4. dirty z14 tiles + global layer rebuild restricted to them.
-    // The per-batch dirty set is bounded by the id-window (maxContributions ×
-    // tiles-per-track), exactly the reference's in-memory HashSet
-    // (Worker.cs:99-103) — collect it once; ancestor sets then derive on the
-    // driver instead of through a 14-deep chain of distinct+broadcast jobs.
-    import spark.implicits._
+    // The per-batch dirty set is bounded by the id-window (maxContributions
+    // × tiles-per-track), exactly the reference's in-memory HashSet
+    // (Worker.cs:99-103) — collect it once; per-level ancestor sets and
+    // bucket sets derive on the driver.
     val dirtySet: Set[(Long, Long)] = delta
       .select(tileOf(col("gx")).as("tx"), tileOf(col("gy")).as("ty")).distinct()
       .as[(Long, Long)].collect().toSet
-    def dirtyDf(s: Set[(Long, Long)]) = s.toSeq.toDF("tx", "ty")
-    val dirty = dirtyDf(dirtySet)
-    val dirtyZ14 = merged
-      .withColumn("tx", tileOf(col("gx"))).withColumn("ty", tileOf(col("gy")))
-      .join(broadcast(dirty), Seq("tx", "ty"), "left_semi")
-      .groupBy("gx", "gy")
-      .agg(countDistinct(col("user_id")).as("users"), sum("trips").as("trips"))
-      .where(col("users") >= k)
-      .select(lit(14).as("z"), col("gx"), col("gy"), col("users"), col("trips"))
-
-    // splice z14: keep clean tiles, replace dirty ones
-    val oldGlobal = store.read("global", Some(globalSchema))
-    val oldZ14 = oldGlobal.map(_.where(col("z") === 14)).getOrElse(emptyGlobal)
-    val splicedZ14 = oldZ14
-      .withColumn("tx", tileOf(col("gx"))).withColumn("ty", tileOf(col("gy")))
-      .join(broadcast(dirty), Seq("tx", "ty"), "left_anti")
-      .drop("tx", "ty")
-      .unionByName(dirtyZ14)
-      .localCheckpoint(false)
-
-    // 5. ancestor rollup in ONE exchange (was 14 sequential splice levels,
-    // each a localCheckpoint job — ~3× the batch latency): every spliced
-    // z14 pixel explodes into its ancestors, pruned INSIDE the flatMap to
-    // the dirty subtrees (the per-level dirty-tile sets are the same
-    // driver-side structure as before — bounded by the id-window), then a
-    // single groupBy recomputes all dirty parents of all levels. Sum is
-    // associative, so this equals the level-by-level cascade exactly
-    // (IncrementalSpec: incremental == one-shot pipeline).
     val dirtyByZ: Array[Set[(Long, Long)]] = {
       val arr = new Array[Set[(Long, Long)]](15)
       arr(14) = dirtySet
@@ -131,33 +105,80 @@ object Incremental {
       }
       arr
     }
-    val res = Res
-    val recomputed = splicedZ14
-      .select(col("gx"), col("gy"), col("users"), col("trips"))
-      .as[(Long, Long, Long, Long)]
-      .flatMap { case (gx, gy, users, trips) =>
-        Iterator.range(0, 14).filter { z =>
-          val d = 14 - z
-          dirtyByZ(z).contains(((gx >> d) / res, (gy >> d) / res))
-        }.map { z =>
-          val d = 14 - z
-          (z, gx >> d, gy >> d, users, trips)
-        }
-      }
-      .toDF("z", "gx", "gy", "users", "trips")
-      .groupBy(col("z"), col("gx"), col("gy"))
-      .agg(sum("users").as("users"), sum("trips").as("trips"))
+    def bucketsOf(s: Set[(Long, Long)]): Seq[Int] =
+      s.map { case (tx, ty) => TileStore.bucketOf(tx, ty) }.toSeq.distinct.sorted
+    def tilesDf(s: Set[(Long, Long)]): DataFrame =
+      s.toSeq.sorted.toDF("tx", "ty")
+    def withTiles(df: DataFrame): DataFrame =
+      df.withColumn("tx", tileOf(col("gx"))).withColumn("ty", tileOf(col("gy")))
 
-    // splice every lower level at once: drop old rows in dirty subtrees
-    val dirtyAll = dirtyByZ.zipWithIndex.take(14)
-      .flatMap { case (s, z) => s.map { case (tx, ty) => (z, tx, ty) } }.toSeq
-      .toDF("z", "tx", "ty")
-    val oldLower = oldGlobal.map(_.where(col("z") < 14)).getOrElse(emptyGlobal)
-    val keptLower = oldLower
-      .withColumn("tx", tileOf(col("gx"))).withColumn("ty", tileOf(col("gy")))
-      .join(broadcast(dirtyAll), Seq("z", "tx", "ty"), "left_anti")
+    // 3. merge user pixels — ONLY the dirty buckets are read (partition-
+    // pruned: the delta's keys all live in dirty tiles, so clean buckets
+    // cannot change) and only they are rewritten; the rest hardlink forward.
+    // localCheckpoint truncates logical lineage for the splice cascade below.
+    val dirtyB = bucketsOf(dirtySet)
+    val oldUpDirty = store.readBuckets("user_pixels", Some(userPixelsSchemaP), dirtyB)
+      .map(_.select("user_id", "gx", "gy", "trips"))
+    val merged = mergeUserPixels(oldUpDirty, delta).localCheckpoint(false)
+
+    // 4. dirty z14 tiles: rebuild the global layer for exactly those tiles
+    // from the merged (dirty-bucket) user pixels. Small (bounded by the
+    // dirty subtree) — checkpoint eagerly so the level cascade below starts
+    // from materialized rows, not a re-runnable plan.
+    val dirtyZ14 = merged
+      .transform(withTiles)
+      .join(broadcast(tilesDf(dirtySet)), Seq("tx", "ty"), "left_semi")
+      .groupBy("gx", "gy")
+      .agg(countDistinct(col("user_id")).as("users"), sum("trips").as("trips"))
+      .where(col("users") >= k)
+      .select(lit(14).as("z"), col("gx"), col("gy"), col("users"), col("trips"))
+      .localCheckpoint(true)
+
+    // old level-z rows, partition-pruned to the given buckets
+    def oldLevel(z: Int, buckets: Seq[Int]): DataFrame =
+      store.readBuckets("global", Some(globalSchemaP), buckets, Some(z))
+        .map(_.where(col("z") === z).select("z", "gx", "gy", "users", "trips"))
+        .getOrElse(emptyGlobal)
+
+    // 5. level-by-level parent rebuild, bounded by the dirty subtree
+    // (HeatMapExtensions.cs:148-214): level z−1's dirty parents are
+    // recomputed from level z's SPLICED rows restricted to the children of
+    // those parents — old rows partition-pruned + semi-joined to the
+    // (≤4×|dirty|) child-tile set, plus the just-recomputed dirty rows.
+    // Each level's recompute is small; eager localCheckpoint keeps the
+    // cascade's lineage flat (a 14-deep dependent plan OOMs AQE plan
+    // stringification — round-1 scar).
+    val levelParts = Seq.newBuilder[DataFrame]
+    levelParts += oldLevel(14, dirtyB)
+      .transform(withTiles)
+      .join(broadcast(tilesDf(dirtySet)), Seq("tx", "ty"), "left_anti")
       .drop("tx", "ty")
-    val newGlobal = splicedZ14.unionByName(keptLower).unionByName(recomputed)
+      .unionByName(dirtyZ14)
+    var recomputed = dirtyZ14 // dirty rows of the level being rolled up
+    var z = 13
+    while (z >= 0) {
+      val dz = dirtyByZ(z)
+      val children: Set[(Long, Long)] = dz.flatMap { case (tx, ty) =>
+        Seq((2 * tx, 2 * ty), (2 * tx + 1, 2 * ty), (2 * tx, 2 * ty + 1), (2 * tx + 1, 2 * ty + 1))
+      }
+      val oldChildRows = oldLevel(z + 1, bucketsOf(children))
+        .transform(withTiles)
+        .join(broadcast(tilesDf(children)), Seq("tx", "ty"), "left_semi")
+        .join(broadcast(tilesDf(dirtyByZ(z + 1))), Seq("tx", "ty"), "left_anti")
+        .drop("tx", "ty")
+      val spliced = oldChildRows.unionByName(recomputed) // recomputed ⊆ children
+      recomputed = graft.agg.Pyramid.rollupOne(spliced.as[graft.model.Schemas.GlobalPixel])
+        .toDF().localCheckpoint(true)
+      levelParts += oldLevel(z, bucketsOf(dz))
+        .transform(withTiles)
+        .join(broadcast(tilesDf(dz)), Seq("tx", "ty"), "left_anti")
+        .drop("tx", "ty")
+        .unionByName(recomputed)
+      z -= 1
+    }
+    val newGlobalDirty = pbOf(levelParts.result().reduce(_ unionByName _))
+    val globalDirtyDirs: Set[String] = (0 to 14).flatMap(lv =>
+      bucketsOf(dirtyByZ(lv)).map(b => s"z=$lv/pb=$b")).toSet
 
     // per-user cursors (S12, Worker.cs:290-296): last contribution id seen
     // per user, merged with the previous snapshot
@@ -172,12 +193,22 @@ object Incremental {
             greatest(coalesce(col("old_id"), lit(-1L)), coalesce(col("new_id"), lit(-1L))).as("last_id"))
     }
 
-    // 6. atomic commit with lineage metrics
-    val version = store.commit(fromId, toId, Map(
-      "user_pixels" -> (merged, None),
-      "user_cursors" -> (userCursors, None),
-      "global" -> (newGlobal, Some("z"))))
-    delta.unpersist(); merged.unpersist()
+    // 6. atomic commit with lineage metrics: dirty partitions written,
+    // clean partitions hardlinked forward, dirty tiles recorded for the
+    // incremental MVT exporter
+    // cluster each partial write by its partition key (one shuffle of the
+    // DIRTY rows only): each hive partition gets ONE file instead of one
+    // per upstream task — at planetary scale the manifest stays proportional
+    // to dirty partitions, not tasks × partitions
+    val version = store.commit(fromId, toId,
+      relations = Map("user_cursors" -> (userCursors, None)),
+      partial = Map(
+        "user_pixels" -> TileStore.Partial(pbOf(merged).repartition(col("pb")), Seq("pb"),
+          dirtyB.map(b => s"pb=$b").toSet),
+        "global" -> TileStore.Partial(newGlobalDirty.repartition(col("z"), col("pb")),
+          Seq("z", "pb"), globalDirtyDirs)),
+      dirtyTiles = Some(dirtySet.toSeq.sorted))
+    delta.unpersist()
     BatchResult(version, skipped = false)
   }
 
@@ -190,6 +221,9 @@ object Incremental {
     StructField("users", LongType, nullable = true),
     StructField("trips", LongType, nullable = true)))
 
+  /** `globalSchema` + the tile-bucket partition column. */
+  val globalSchemaP: StructType = globalSchema.add("pb", IntegerType)
+
   val userCursorsSchema: StructType = StructType(Seq(
     StructField("user_id", LongType, nullable = true),
     StructField("last_id", LongType, nullable = true)))
@@ -199,6 +233,8 @@ object Incremental {
     StructField("gx", LongType, nullable = true),
     StructField("gy", LongType, nullable = true),
     StructField("trips", LongType, nullable = true)))
+
+  val userPixelsSchemaP: StructType = userPixelsSchema.add("pb", IntegerType)
 
   private def emptyGlobal(implicit spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], globalSchema)

@@ -62,6 +62,79 @@ class ServiceMainSpec extends AnyFunSuite {
       assert(mvts.nonEmpty)
       val feats = graft.core.MvtCodec.decodeTile(Files.readAllBytes(mvts.head))
       assert(feats.nonEmpty)
+      // TileJSON metadata ships next to the tile tree (mvt.json:1-22)
+      val tj = new String(Files.readAllBytes(java.nio.file.Paths.get(s"$out/mvt/mvt.json")), "UTF-8")
+      assert(tj.contains(""""id": "heatmap"""") && tj.contains(""""maxzoom": 14""")
+        && tj.contains(""""tilejson""""))
+    }
+  }
+
+  test("incremental export rewrites exactly the dirty tiles + ancestors, byte-identical to full re-export") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    def tracksDs = s.createDataset((0L until N).map { i =>
+      val ph = ImageSynth.phashOf(i)
+      Track(i, TraceSynth.userOf(ph, 6), TraceSynth.trace(ph))
+    })
+    val out = Files.createTempDirectory("svc-incexp").toString
+    val store = new graft.io.TileStore(s"$out/store")
+    val mvtDir = s"$out/mvt"
+
+    def mvtFiles(dir: String): Map[String, (Array[Byte], java.nio.file.attribute.FileTime)] = {
+      val root = java.nio.file.Paths.get(dir)
+      if (!Files.exists(root)) return Map.empty
+      val st = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(_.toString.endsWith(".mvt")).map { p =>
+          root.relativize(p).toString ->
+            ((Files.readAllBytes(p), Files.getLastModifiedTime(p)))
+        }.toMap
+      } finally st.close()
+    }
+
+    // batch 1 + first export (full — no EXPORTED marker yet)
+    graft.pipeline.Incremental.processBatch(store, tracksDs, -1L, 99L)
+    ServiceMain.exportTiles(store, mvtDir)
+    val v1 = store.currentVersion
+    assert(store.exportedVersion === v1)
+    val before = mvtFiles(mvtDir)
+    assert(before.nonEmpty)
+
+    // batch 2 dirties a subset of tiles; the second export must rewrite
+    // exactly those + their ancestor chains and nothing else
+    graft.pipeline.Incremental.processBatch(store, tracksDs, 99L, N - 1L)
+    val dirty = store.dirtyTilesSince(v1)
+    assert(dirty.nonEmpty)
+    ServiceMain.exportTiles(store, mvtDir)
+    assert(store.exportedVersion === store.currentVersion)
+    val after = mvtFiles(mvtDir)
+    val targets = ServiceMain.withAncestors(dirty)
+      .map { case (z, tx, ty) => s"$z/$tx/$ty.mvt" }
+    val rewritten = after.keySet.filter { k =>
+      !before.contains(k) || before(k)._2 != after(k)._2 // new or mtime bumped
+    }
+    assert(rewritten.nonEmpty)
+    assert(rewritten.subsetOf(targets), s"rewrote outside the dirty set: ${rewritten -- targets}")
+    // every target that has data was rewritten (tiles whose pixels all fail
+    // k-anonymity produce no file — same as the reference's null-attribute drop)
+    assert((targets -- rewritten).forall(t => !after.contains(t)),
+      "a dirty tile with data was not rewritten")
+    // untouched files are byte-identical leftovers of the first export
+    (after.keySet -- rewritten).foreach { k =>
+      assert(java.util.Arrays.equals(before(k)._1, after(k)._1), s"clean tile $k changed")
+    }
+
+    // the incremental tree equals a full re-export of the same state, byte for byte
+    val fullDir = s"$out/mvt_full"
+    val g = store.read("global", Some(graft.pipeline.Incremental.globalSchemaP)).get
+    val fullTiles = graft.mvt.MvtJobs.encodeTiles(
+      g.select("z", "gx", "gy", "users", "trips").as[graft.model.Schemas.GlobalPixel])
+    graft.mvt.MvtJobs.writeMvtFiles(fullTiles, fullDir)
+    val full = mvtFiles(fullDir)
+    assert(after.keySet === full.keySet)
+    full.foreach { case (k, (bytes, _)) =>
+      assert(java.util.Arrays.equals(after(k)._1, bytes), s"tile $k differs from full export")
     }
   }
 }

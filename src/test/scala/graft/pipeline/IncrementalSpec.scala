@@ -106,6 +106,62 @@ class IncrementalSpec extends AnyFunSuite {
     assert(cursors === want)
   }
 
+  test("dirty-partition commits: write bounded by the dirty subtree, clean partitions carried") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("tilestore-dirty").toString
+    val store = new TileStore(d)
+    // batch A: 80 spread tracks dirty many tile buckets
+    // k=1 so the global relation is dense enough that the bounded-write
+    // assertion is meaningful (at k=3 the 6-user synthetic corpus survives
+    // only ~60 pixels and the ancestor-chain floor dominates)
+    assert(!Incremental.processBatch(store, testTracks, -1L, 79L, k = 1).skipped)
+    val upTotal = store.read("user_pixels", Some(Incremental.userPixelsSchemaP)).get.count()
+    val gTotal = store.read("global", Some(Incremental.globalSchemaP)).get.count()
+    // batch B: ONE short track confined to a single z14 tile
+    val confined = s.createDataset(Seq(graft.model.Schemas.Track(999L, 1L,
+      Array(Array(4.4000, 51.0000), Array(4.4005, 51.0004)))))
+    assert(!Incremental.processMicroBatch(store, confined, 999L, k = 1).skipped)
+
+    // the commit lineage proves the write was bounded by the dirty subtree:
+    // far fewer rows written than the relation holds, clean buckets carried
+    // forward as links instead of rewritten
+    val last = {
+      val lines = Files.readAllLines(java.nio.file.Paths.get(d, "commits.jsonl"))
+      lines.get(lines.size() - 1)
+    }
+    def metric(rel: String, key: String): Long = {
+      // non-greedy skip: key may sit after the nested partition_rows object
+      val re = (s""""$rel": \\{.*?"$key": (\\d+)""").r.unanchored
+      re.findFirstMatchIn(last).map(_.group(1).toLong)
+        .getOrElse(fail(s"no $rel.$key in $last"))
+    }
+    assert(metric("user_pixels", "rows") < upTotal / 4,
+      s"user_pixels write not dirty-bounded: wrote ${metric("user_pixels", "rows")} of $upTotal")
+    assert(metric("global", "rows") < gTotal / 4,
+      s"global write not dirty-bounded: wrote ${metric("global", "rows")} of $gTotal")
+    assert(metric("user_pixels", "carried_dirs") > 0)
+    assert(metric("global", "carried_dirs") > 0)
+    assert(last.contains(""""dirty_tiles": [["""))
+
+    // the read side partition-prunes: the pruned scan's plan carries
+    // partition filters on (z, pb), so the scan is bounded by directories,
+    // not post-scan filtering
+    val pruned = store.readBuckets("global", Some(Incremental.globalSchemaP),
+      Seq(graft.io.TileStore.bucketOf(0, 0)), Some(14)).get
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pb"), plan.take(2000))
+
+    // and the spliced state still equals the one-shot pipeline over all input
+    val got = store.read("global", Some(Incremental.globalSchema)).get
+      .select("z", "gx", "gy", "users", "trips").collect()
+      .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4)))).toMap
+    val want = HeatmapPipeline.run(testTracks.where($"contribution_id" <= 79L)
+      .unionByName(confined), k = 1).pyramid.collect()
+      .map(p => ((p.z, p.gx, p.gy), (p.users, p.trips))).toMap
+    assert(got === want)
+  }
+
   test("crash BETWEEN commit record and HEAD move: batch re-runs, no silent loss") {
     implicit val s: SparkSession = spark
     val d2 = Files.createTempDirectory("tilestore-crashwin").toString
