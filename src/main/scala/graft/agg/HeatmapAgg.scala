@@ -162,6 +162,58 @@ object HeatmapAgg {
       .as[graft.model.Schemas.TileCells]
   }
 
+  /** Hot-tile guard: the STRIPED tile aggregation. `tileCells` concentrates
+    * one buffer per tile on a single reducer — fine for 2^28 z14 tiles in
+    * general, but a planetary urban core with millions of distinct users
+    * makes that one buffer O(distinct (pixel, user) pairs). Striping splits
+    * the key to (tkey, user_id % stripes): each stripe's buffer holds only
+    * its users' pairs (≈ pairs/stripes), and because a user lives in
+    * EXACTLY one stripe, per-pixel distinct-user counts ADD across stripes
+    * — the merge is an exact sum, not an approximation (same argument as
+    * `globalGrainSalted`; equality proven in HeatmapAggSpec, including a
+    * pathological one-tile × 10^5-user case with buffer telemetry).
+    * Cost: one extra (small) exchange of per-stripe cell arrays. */
+  def tileCellsStriped(tiles: org.apache.spark.sql.Dataset[graft.model.Schemas.TileVisit],
+                       stripes: Int)(
+      implicit spark: SparkSession): Dataset[graft.model.Schemas.TileCells] = {
+    import spark.implicits._
+    if (stripes <= 1) return tileCells(tiles)
+    val perStripe = tiles.toDF()
+      .withColumn("stripe", pmod($"user_id", lit(stripes)))
+      .groupBy($"tkey", $"stripe")
+      .agg(graft.functions.TileUsersFunctions.tileUsers(spark, $"user_id", $"pixels").as("cells"))
+      .select($"tkey", $"cells")
+      .as[(Long, Array[graft.model.Schemas.Cell])]
+    perStripe
+      .groupByKey(_._1)
+      .mapGroups { (tkey, it) =>
+        // merge ≤ `stripes` stripe-disjoint cell arrays: users/trips sum per pixel
+        val users = new scala.collection.mutable.LongMap[Long]()
+        val trips = new scala.collection.mutable.LongMap[Long]()
+        it.foreach { case (_, cells) =>
+          cells.foreach { c =>
+            users.update(c.pix.toLong, users.getOrElse(c.pix.toLong, 0L) + c.users)
+            trips.update(c.pix.toLong, trips.getOrElse(c.pix.toLong, 0L) + c.trips)
+          }
+        }
+        val out = new Array[graft.model.Schemas.Cell](users.size)
+        var i = 0
+        users.foreach { case (pix, u) =>
+          out(i) = graft.model.Schemas.Cell(pix.toInt, u, trips(pix)); i += 1
+        }
+        java.util.Arrays.sort(out, Ordering.by((c: graft.model.Schemas.Cell) => c.pix))
+        graft.model.Schemas.TileCells(tkey, out)
+      }
+  }
+
+  /** Size-triggered stripe selection: bound any single tile buffer to
+    * roughly `maxUsersPerStripe` distinct users in the worst (all users on
+    * one tile) case. 1 stripe — the plain single-exchange plan — until the
+    * corpus is big enough to need splitting; capped so the stripe exchange
+    * itself stays small. */
+  def stripesFor(distinctUsers: Long, maxUsersPerStripe: Long = 200000L): Int =
+    math.min(64L, math.max(1L, (distinctUsers + maxUsersPerStripe - 1) / maxUsersPerStripe)).toInt
+
   /** Narrow explode of aggregated tiles into the pixel relation, with the
     * k-anonymity HAVING (no shuffle — cells are already exact). */
   def cellsToPixels(tc: Dataset[graft.model.Schemas.TileCells],

@@ -83,6 +83,9 @@ final class TileBuffer {
   }
 
   private def growPair(): Unit = {
+    // high-water telemetry on the amortized growth path (powers of two, so
+    // the recorded peak is within 2× of the true max — zero per-add cost)
+    TileBuffer.PeakPairs.getAndAccumulate(nPair.toLong, Math.max(_, _))
     val op = pairPix; val ou = pairUser
     pairPix = new Array[Int](op.length * 2)
     pairUser = new Array[Long](op.length * 2)
@@ -170,6 +173,13 @@ final class TileBuffer {
 }
 
 object TileBuffer {
+  /** Diagnostic high-water mark of distinct (pix, user) pairs seen by any
+    * single buffer in this JVM (updated on buffer growth; in local mode —
+    * tests — executors share the JVM, so this observes the whole job). The
+    * HeatmapAggSpec hot-tile case asserts striping bounds it. */
+  val PeakPairs = new java.util.concurrent.atomic.AtomicLong(0L)
+  def resetPeak(): Unit = PeakPairs.set(0L)
+
   def deserialize(bytes: Array[Byte]): TileBuffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val buf = new TileBuffer()

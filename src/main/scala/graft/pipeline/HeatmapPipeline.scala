@@ -58,7 +58,8 @@ object HeatmapPipeline {
     def release(): Unit = cached.foreach(_.unpersist())
   }
 
-  def run(tracks: Dataset[Track], k: Int = HeatmapAgg.KAnonymity, minZoom: Int = 0)(
+  def run(tracks: Dataset[Track], k: Int = HeatmapAgg.KAnonymity, minZoom: Int = 0,
+          stripes: Int = 1)(
       implicit spark: SparkSession): HeatmapResult = {
     // the rasterize flatMap is the CPU-dominant narrow stage: spread it over
     // every core even when the source is a single parquet split
@@ -70,8 +71,13 @@ object HeatmapPipeline {
     // (HeatmapAgg.tileCells; equality proven in HeatmapAggSpec). The cached
     // tile relation then feeds BOTH the z14 layer (narrow explode) and the
     // pyramid (tile-local pre-agg, ~cells/3 partial rows through one
-    // groupBy) — no per-pixel ancestor-explode shuffle.
-    val tc = HeatmapAgg.tileCells(Rasterize.tileVisits(spread))
+    // groupBy) — no per-pixel ancestor-explode shuffle. `stripes > 1`
+    // engages the hot-tile guard (`tileCellsStriped`) for corpora whose
+    // user cardinality would concentrate an unbounded buffer on one reducer
+    // (see runAuto for the size-triggered selection).
+    val tc =
+      if (stripes > 1) HeatmapAgg.tileCellsStriped(Rasterize.tileVisits(spread), stripes)
+      else HeatmapAgg.tileCells(Rasterize.tileVisits(spread))
     tc.persist()
     val z14 = HeatmapAgg.cellsToPixels(tc, k)
     val pyr =
@@ -81,6 +87,21 @@ object HeatmapPipeline {
     // plan-only until acted on
     val up = HeatmapAgg.userGrain(Rasterize.userPixels(spread))
     HeatmapResult(up, z14, pyr, cached = Some(tc), k = k)
+  }
+
+  /** `run` with SIZE-TRIGGERED hot-tile striping: estimates the distinct
+    * user cardinality with one cheap sketch aggregation (HLL — an exchange
+    * of sketches, not rows) and engages `tileCellsStriped` only when the
+    * worst case (every user on one tile) would blow a single reducer's
+    * buffer. On a production deployment the cardinality usually comes free
+    * from the catalog/cursor table instead — pass it via `knownUsers`. */
+  def runAuto(tracks: Dataset[Track], k: Int = HeatmapAgg.KAnonymity, minZoom: Int = 0,
+              knownUsers: Option[Long] = None)(
+      implicit spark: SparkSession): HeatmapResult = {
+    import org.apache.spark.sql.functions.approx_count_distinct
+    val users = knownUsers.getOrElse(
+      tracks.select(approx_count_distinct("user_id")).head().getLong(0))
+    run(tracks, k, minZoom, stripes = HeatmapAgg.stripesFor(users))
   }
 
   def mvt(pyramid: Dataset[GlobalPixel])(implicit spark: SparkSession): Dataset[MvtTile] =
