@@ -115,6 +115,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges === 1, plan)
   }
 
+  test("dump-backed q_hm family shape: z14 layer AND z14 MVT encode are narrow over the tile relation") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val tracks = s.createDataset(Seq(graft.model.Schemas.Track(1, 1,
+      Array(Array(4.35, 50.85), Array(4.351, 50.851)))))
+    val dump = java.nio.file.Files.createTempDirectory("cells-dump").toString + "/tc.parquet"
+    graft.agg.HeatmapAgg.tileCells(graft.raster.Rasterize.tileVisits(tracks))
+      .toDF().write.parquet(dump)
+    val tc = s.read.parquet(dump).as[graft.model.Schemas.TileCells]
+    // the shared-materialization scheme: once the tile relation is on disk,
+    // the z14 layer (explode+filter) and the z14 MVT blobs (per-row encode)
+    // are pure narrow reads — no exchange at any scale
+    val layerPlan = physical(graft.agg.HeatmapAgg.cellsToPixels(tc, k = 1).toDF())
+    assert(!layerPlan.contains("Exchange"), layerPlan)
+    val mvtPlan = physical(graft.mvt.MvtJobs.encodeZ14FromTileCells(tc, k = 1).toDF())
+    assert(!mvtPlan.contains("Exchange"), mvtPlan)
+  }
+
   test("slippy_cell is a native expression, not a UDF") {
     implicit val s: SparkSession = spark
     import s.implicits._
