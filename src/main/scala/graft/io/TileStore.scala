@@ -206,13 +206,22 @@ class TileStore(root: String)(implicit spark: SparkSession) {
           .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
           .toList
       } finally s.close()
+    // footer reads are tiny but latency-bound; a partitioned commit has one
+    // file per dirty dir (can be hundreds) — read them in parallel
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val counted: List[(Path, Long)] = Await.result(
+      Future.traverse(files) { f => Future {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val n = try reader.getRecordCount finally reader.close()
+        (f, n)
+      }},
+      scala.concurrent.duration.Duration.Inf)
     var total = 0L
     val perPart = scala.collection.mutable.Map.empty[String, Long]
-    files.foreach { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.toUri), conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val n = try reader.getRecordCount finally reader.close()
+    counted.foreach { case (f, n) =>
       total += n
       if (partitioned) {
         // hive-style dir name "<col>=<value>" directly under the snapshot root

@@ -40,6 +40,15 @@ import graft.raster.Rasterize
 object Incremental {
   val Res = Rasterize.Resolution
 
+  /** Dirty-bucket fraction above which the pyramid rebuild switches from
+    * the bounded level-by-level cascade to the single fused ancestor-
+    * explode: past this point most of the store is dirty anyway, so one
+    * wide exchange beats 14 bounded jobs (sandbox backfill batches land
+    * here; planetary steady-state trickle stays far below it). */
+  val FusedCutover = 0.3
+
+  private def allBuckets: Seq[Int] = 0 until TileStore.Buckets
+
   final case class BatchResult(version: Long, skipped: Boolean)
 
   private def tileOf(gxCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -132,7 +141,7 @@ object Incremental {
       .agg(countDistinct(col("user_id")).as("users"), sum("trips").as("trips"))
       .where(col("users") >= k)
       .select(lit(14).as("z"), col("gx"), col("gy"), col("users"), col("trips"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: materialized by the first consumer, reused after
 
     // old level-z rows, partition-pruned to the given buckets
     def oldLevel(z: Int, buckets: Seq[Int]): DataFrame =
@@ -140,43 +149,87 @@ object Incremental {
         .map(_.where(col("z") === z).select("z", "gx", "gy", "users", "trips"))
         .getOrElse(emptyGlobal)
 
-    // 5. level-by-level parent rebuild, bounded by the dirty subtree
-    // (HeatMapExtensions.cs:148-214): level z−1's dirty parents are
-    // recomputed from level z's SPLICED rows restricted to the children of
-    // those parents — old rows partition-pruned + semi-joined to the
-    // (≤4×|dirty|) child-tile set, plus the just-recomputed dirty rows.
-    // Each level's recompute is small; eager localCheckpoint keeps the
-    // cascade's lineage flat (a 14-deep dependent plan OOMs AQE plan
-    // stringification — round-1 scar).
-    val levelParts = Seq.newBuilder[DataFrame]
-    levelParts += oldLevel(14, dirtyB)
-      .transform(withTiles)
-      .join(broadcast(tilesDf(dirtySet)), Seq("tx", "ty"), "left_anti")
-      .drop("tx", "ty")
-      .unionByName(dirtyZ14)
-    var recomputed = dirtyZ14 // dirty rows of the level being rolled up
-    var z = 13
-    while (z >= 0) {
-      val dz = dirtyByZ(z)
-      val children: Set[(Long, Long)] = dz.flatMap { case (tx, ty) =>
-        Seq((2 * tx, 2 * ty), (2 * tx + 1, 2 * ty), (2 * tx, 2 * ty + 1), (2 * tx + 1, 2 * ty + 1))
+    // 5. parent rebuild for levels 13..0, ADAPTIVE by dirty fraction:
+    //
+    //   steady-state trickle (dirty buckets ≤ FusedCutover of the store) —
+    //   level-by-level bounded cascade (HeatMapExtensions.cs:148-214):
+    //   level z−1's dirty parents recompute from level z's SPLICED rows
+    //   restricted to the children of those parents — old rows partition-
+    //   pruned + semi-joined to the (≤4×|dirty|) child set, plus the just-
+    //   recomputed rows. Per-level scan is O(dirty subtree), never the
+    //   world; eager localCheckpoint keeps the cascade's lineage flat
+    //   (a 14-deep dependent plan OOMs AQE plan stringification).
+    //
+    //   backfill (a batch touching most of the store) — the single fused
+    //   ancestor-explode over the full spliced z14: when nearly every
+    //   bucket is dirty anyway, O(world) IS the work, and one wide
+    //   exchange beats 14 bounded jobs that each scan most of the store.
+    //
+    // Both recompute EXACTLY the dirty tiles of every level (sum is
+    // associative), so the choice is invisible in the output — both paths
+    // are exercised by IncrementalSpec (spread batches take the fused
+    // path, the confined batch takes the bounded cascade).
+    val dirtyFraction = dirtyB.size.toDouble / TileStore.Buckets
+    val lowerRecomputed: DataFrame =
+      if (dirtyFraction <= FusedCutover) {
+        val parts = Seq.newBuilder[DataFrame]
+        var recomputed = dirtyZ14 // dirty rows of the level being rolled up
+        var z = 13
+        while (z >= 0) {
+          val children: Set[(Long, Long)] = dirtyByZ(z).flatMap { case (tx, ty) =>
+            Seq((2 * tx, 2 * ty), (2 * tx + 1, 2 * ty), (2 * tx, 2 * ty + 1), (2 * tx + 1, 2 * ty + 1))
+          }
+          val oldChildRows = oldLevel(z + 1, bucketsOf(children))
+            .transform(withTiles)
+            .join(broadcast(tilesDf(children)), Seq("tx", "ty"), "left_semi")
+            .join(broadcast(tilesDf(dirtyByZ(z + 1))), Seq("tx", "ty"), "left_anti")
+            .drop("tx", "ty")
+          val spliced = oldChildRows.unionByName(recomputed) // recomputed ⊆ children
+          recomputed = graft.agg.Pyramid.rollupOne(spliced.as[graft.model.Schemas.GlobalPixel])
+            .toDF().localCheckpoint(true)
+          parts += recomputed
+          z -= 1
+        }
+        parts.result().reduce(_ unionByName _)
+      } else {
+        // full spliced z14 (one scan), every pixel exploded into the
+        // ancestors whose tiles are dirty, one groupBy for all levels
+        val splicedZ14Full = oldLevel(14, allBuckets)
+          .transform(withTiles)
+          .join(broadcast(tilesDf(dirtySet)), Seq("tx", "ty"), "left_anti")
+          .drop("tx", "ty")
+          .unionByName(dirtyZ14)
+        val res = Res
+        val dz = dirtyByZ
+        import spark.implicits._
+        splicedZ14Full
+          .select(col("gx"), col("gy"), col("users"), col("trips"))
+          .as[(Long, Long, Long, Long)]
+          .flatMap { case (gx, gy, users, trips) =>
+            Iterator.range(0, 14).filter { z =>
+              val d = 14 - z
+              dz(z).contains(((gx >> d) / res, (gy >> d) / res))
+            }.map { z =>
+              val d = 14 - z
+              (z, gx >> d, gy >> d, users, trips)
+            }
+          }
+          .toDF("z", "gx", "gy", "users", "trips")
+          .groupBy(col("z"), col("gx"), col("gy"))
+          .agg(sum("users").as("users"), sum("trips").as("trips"))
+          .select(col("z").cast("int").as("z"), col("gx"), col("gy"), col("users"), col("trips"))
       }
-      val oldChildRows = oldLevel(z + 1, bucketsOf(children))
+
+    // kept rows per level: everything in the dirty buckets that is NOT a
+    // dirty tile survives unchanged but must be rewritten with its partition
+    val keptParts = (0 to 14).map { lv =>
+      oldLevel(lv, bucketsOf(dirtyByZ(lv)))
         .transform(withTiles)
-        .join(broadcast(tilesDf(children)), Seq("tx", "ty"), "left_semi")
-        .join(broadcast(tilesDf(dirtyByZ(z + 1))), Seq("tx", "ty"), "left_anti")
+        .join(broadcast(tilesDf(dirtyByZ(lv))), Seq("tx", "ty"), "left_anti")
         .drop("tx", "ty")
-      val spliced = oldChildRows.unionByName(recomputed) // recomputed ⊆ children
-      recomputed = graft.agg.Pyramid.rollupOne(spliced.as[graft.model.Schemas.GlobalPixel])
-        .toDF().localCheckpoint(true)
-      levelParts += oldLevel(z, bucketsOf(dz))
-        .transform(withTiles)
-        .join(broadcast(tilesDf(dz)), Seq("tx", "ty"), "left_anti")
-        .drop("tx", "ty")
-        .unionByName(recomputed)
-      z -= 1
     }
-    val newGlobalDirty = pbOf(levelParts.result().reduce(_ unionByName _))
+    val newGlobalDirty = pbOf(
+      (keptParts :+ dirtyZ14 :+ lowerRecomputed).reduce(_ unionByName _))
     val globalDirtyDirs: Set[String] = (0 to 14).flatMap(lv =>
       bucketsOf(dirtyByZ(lv)).map(b => s"z=$lv/pb=$b")).toSet
 
