@@ -221,15 +221,31 @@ object Incremental {
       }
 
     // kept rows per level: everything in the dirty buckets that is NOT a
-    // dirty tile survives unchanged but must be rewritten with its partition
-    val keptParts = (0 to 14).map { lv =>
-      oldLevel(lv, bucketsOf(dirtyByZ(lv)))
-        .transform(withTiles)
-        .join(broadcast(tilesDf(dirtyByZ(lv))), Seq("tx", "ty"), "left_anti")
-        .drop("tx", "ty")
-    }
+    // dirty tile survives unchanged but must be rewritten with its
+    // partition. Bounded mode scans each level pruned to its own dirty
+    // buckets (15 small scans); fused mode does ONE scan with a single
+    // (z, tx, ty) anti-join — per-level pruning is pointless when most
+    // buckets are dirty, and 15 separate broadcasts cost more than they
+    // save.
+    val kept: DataFrame =
+      if (dirtyFraction <= FusedCutover)
+        (0 to 14).map { lv =>
+          oldLevel(lv, bucketsOf(dirtyByZ(lv)))
+            .transform(withTiles)
+            .join(broadcast(tilesDf(dirtyByZ(lv))), Seq("tx", "ty"), "left_anti")
+            .drop("tx", "ty")
+        }.reduce(_ unionByName _)
+      else {
+        val dirtyAll = (0 to 14).flatMap(lv =>
+          dirtyByZ(lv).toSeq.map { case (tx, ty) => (lv, tx, ty) }).toDF("z", "tx", "ty")
+        store.read("global", Some(globalSchemaP))
+          .map(_.select("z", "gx", "gy", "users", "trips")).getOrElse(emptyGlobal)
+          .transform(withTiles)
+          .join(broadcast(dirtyAll), Seq("z", "tx", "ty"), "left_anti")
+          .drop("tx", "ty")
+      }
     val newGlobalDirty = pbOf(
-      (keptParts :+ dirtyZ14 :+ lowerRecomputed).reduce(_ unionByName _))
+      Seq(kept, dirtyZ14, lowerRecomputed).reduce(_ unionByName _))
     val globalDirtyDirs: Set[String] = (0 to 14).flatMap(lv =>
       bucketsOf(dirtyByZ(lv)).map(b => s"z=$lv/pb=$b")).toSet
 
