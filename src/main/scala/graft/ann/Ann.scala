@@ -180,6 +180,46 @@ object Ann {
       .limit(k)
   }
 
+  /** Build and PERSIST the IVF index: a tiny centroid table plus the
+    * vector table hive-partitioned by `list_id` — the index-once / query-
+    * many shape. At cluster scale the list id is the physical partition
+    * key, so a probe's scan is bounded by nProbe directories (directory
+    * pruning), ~nProbe/nLists of the table, regardless of total size. */
+  def buildIvfIndex(emb: DataFrame, dir: String, nLists: Int = 16, iters: Int = 3)(
+      implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    val centroids = ivfCentroids(emb, nLists, iters)
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssign(emb, centroids).join(emb, "vec_id")
+      .repartition(col("list_id")) // one file per list dir
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/vectors")
+  }
+
+  /** Query a persisted IVF index: read the (tiny) centroid table, pick the
+    * query's nProbe nearest lists, then an exact cosine top-k over ONLY
+    * those list partitions (the `list_id` filter is a partition filter —
+    * AnnSpec asserts it lands as directory pruning). */
+  def ivfTopKIndexed(dir: String, query: Array[Float], k: Int, nProbe: Int,
+                     excludeId: Option[Long] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select("list_id", "centroid").as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
+    val probes = centroids.indices
+      .sortBy(c => -cosineKernel(query, centroids(c))).take(nProbe)
+    val qDf = Seq(query.map(_.toDouble)).toDF("q_emb")
+    val base = spark.read.parquet(s"$dir/vectors")
+      .where(col("list_id").isin(probes.map(Integer.valueOf): _*))
+    excludeId.fold(base)(id => base.where(col("vec_id") =!= id))
+      .crossJoin(broadcast(qDf))
+      .select(col("vec_id"), cosineCol(asDouble(col("embedding")), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact brute-force near-dup pairs (oracle for the LSH recall tests). */
   def exactNearDupPairs(emb: DataFrame, threshold: Double)(
       implicit spark: SparkSession): DataFrame = {

@@ -120,6 +120,24 @@ object GraftQueries {
     }.as[graft.model.Schemas.TileCells]
   }
 
+  /** Persisted IVF index over the sf dir's embeddings (index-once / query-
+    * many; shared across invocations like the dumps). */
+  val IvfIndexPath = "/tmp/graft_oracle/ivf_index"
+  private def ivfIndexDir(s: SparkSession, d: String): String = {
+    implicit val sp: SparkSession = s
+    val marker = java.nio.file.Paths.get(IvfIndexPath + ".source")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == d &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(IvfIndexPath, "vectors", "_SUCCESS"))
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      Ann.buildIvfIndex(embeddings(s, d), IvfIndexPath, nLists = 16, iters = 3)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, d.getBytes("UTF-8"))
+    }
+    IvfIndexPath
+  }
+
   private def imgRasterDump(s: SparkSession): DataFrame = {
     implicit val sp: SparkSession = s
     sharedDump(s, ImgRasterDumpPath, s"images:$ImgPipelineRows") { path =>
@@ -167,6 +185,19 @@ object GraftQueries {
     "q_ann_ivf_topk" -> ((s, d) => {
       implicit val sp: SparkSession = s
       Ann.ivfTopK(embeddings(s, d), 0L, 10, nProbe = 16, nLists = 16)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    }),
+
+    // PERSISTED IVF index (index-once / query-many): full probe over the
+    // on-disk list-partitioned table must equal brute force (DuckDB-oracled);
+    // the partition-pruned probe path is plan-asserted in AnnSpec
+    "q_ann_ivf_indexed" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val dir = ivfIndexDir(s, d)
+      val q = embeddings(s, d).where(col("vec_id") === 0L)
+        .select("embedding").as[Array[Float]].head()
+      Ann.ivfTopKIndexed(dir, q, 10, nProbe = 16, excludeId = Some(0L))
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
     }),
 
@@ -401,6 +432,11 @@ object GraftQueries {
          FROM embeddings WHERE vec_id <> 0
          ORDER BY sim DESC, vec_id LIMIT 10""",
     "q_ann_ivf_topk" ->
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+         FROM embeddings WHERE vec_id <> 0
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+    "q_ann_ivf_indexed" ->
       """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
          FROM embeddings WHERE vec_id <> 0

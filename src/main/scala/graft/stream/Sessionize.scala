@@ -43,6 +43,51 @@ object Sessionize {
     UserSessions(userId, s.nEvents, s.nSessions, s.maxTs)
   }
 
+  final case class UserSessionsLate(
+      user_id: Long, n_events: Long, n_sessions: Long, last_ts_us: Long, n_late_dropped: Long)
+  final case class LateState(inner: SessionState, nDropped: Long)
+
+  /** Watermark-style bounded-lateness policy: an event older than the
+    * user's event-time high-water mark minus `latenessUs` is DROPPED —
+    * never silently (the drop count rides in the state and every emitted
+    * row), mirroring the engine-level `withWatermark` contract for the
+    * custom-state path where Spark cannot apply it for us. Events inside
+    * the lateness window still follow the monotone policy of
+    * `updateState` (they join the current session, `lastTs` never moves
+    * backwards). */
+  def updateStateLate(gapUs: Long, latenessUs: Long)(
+      userId: Long, events: Iterator[EventIn], state: GroupState[LateState]): UserSessionsLate = {
+    val sorted = events.toArray.sortBy(_.ts_us)
+    var s = state.getOption.getOrElse(
+      LateState(SessionState(Long.MinValue, 0L, 0L, Long.MinValue), 0L))
+    sorted.foreach { e =>
+      val watermark = if (s.inner.maxTs == Long.MinValue) Long.MinValue else s.inner.maxTs - latenessUs
+      if (e.ts_us < watermark) {
+        s = s.copy(nDropped = s.nDropped + 1)
+      } else {
+        val in = s.inner
+        val newSession = in.lastTs == Long.MinValue || e.ts_us - in.lastTs > gapUs
+        s = LateState(SessionState(math.max(in.lastTs, e.ts_us),
+          in.nSessions + (if (newSession) 1 else 0), in.nEvents + 1,
+          math.max(in.maxTs, e.ts_us)), s.nDropped)
+      }
+    }
+    state.update(s)
+    UserSessionsLate(userId, s.inner.nEvents, s.inner.nSessions, s.inner.maxTs, s.nDropped)
+  }
+
+  /** Streaming with the bounded-lateness drop policy. */
+  def sessionsStreamLate(events: DataFrame, gapUs: Long = DefaultGapUs,
+                         latenessUs: Long = DefaultGapUs)(
+      implicit spark: SparkSession): Dataset[UserSessionsLate] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateStateLate(gapUs, latenessUs))
+  }
+
   /** Streaming: per-user running session stats, updated every micro-batch.
     * The LAST emitted row per user is the converged answer. */
   def sessionsStream(events: DataFrame, gapUs: Long = DefaultGapUs)(

@@ -91,6 +91,42 @@ class AnnSpec extends AnyFunSuite {
     assert(assigned.select("list_id").distinct().count() <= 16)
   }
 
+  test("persisted IVF index: full probe == brute force, probe scan is partition-pruned") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val data = vecs(400)
+    val df = data.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    Ann.buildIvfIndex(df, dir, nLists = 16, iters = 3)
+    val q = data.head._2
+
+    // full probe degenerates to the exact scan
+    val got = Ann.ivfTopKIndexed(dir, q, 10, nProbe = 16, excludeId = Some(0L))
+      .as[(Long, Double)].collect()
+    val want = Ann.bruteForceTopK(df, 0L, 10).as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq === want.map(_._1).toSeq)
+
+    // partial probe: high recall at a quarter of the lists
+    val part = Ann.ivfTopKIndexed(dir, q, 10, nProbe = 4, excludeId = Some(0L))
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val recall = want.map(_._1).count(part.contains).toDouble / want.length
+    assert(recall >= 0.7, s"recall $recall")
+
+    // the list_id filter must land as DIRECTORY pruning, not a post-scan
+    // filter — the property that bounds the probe at any table size
+    val plan = Ann.ivfTopKIndexed(dir, q, 10, nProbe = 4, excludeId = Some(0L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"), plan.take(2000))
+
+    // one file per list partition (index hygiene)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "vectors"))
+    val parquets = try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.count(_.toString.endsWith(".parquet"))
+    } finally files.close()
+    assert(parquets <= 16, s"$parquets files for 16 lists")
+  }
+
   test("bucket cap bounds a degenerate embedding cluster; drops are observed") {
     implicit val s: SparkSession = spark
     import s.implicits._

@@ -67,4 +67,46 @@ class SessionizeSpec extends AnyFunSuite {
         (r.getAs[Long]("n_events"), r.getAs[Long]("n_sessions")))).toMap
     assert(got === want)
   }
+
+  test("bounded-lateness policy: too-late events dropped WITH a count, in-window stragglers kept") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    // drive the state function directly (the update logic is the policy)
+    val gap = 100L; val lateness = 50L
+    var state: Option[Sessionize.LateState] = None
+    def feed(ts: Long*): Sessionize.UserSessionsLate = {
+      val gs = new TestGroupState(state)
+      val out = Sessionize.updateStateLate(gap, lateness)(
+        1L, ts.map(Sessionize.EventIn(1L, _)).iterator, gs)
+      state = gs.stored
+      out
+    }
+    val a = feed(1000L, 1050L) // one session, watermark 1050-50=1000
+    assert(a.n_sessions === 1L && a.n_events === 2L && a.n_late_dropped === 0L)
+    val b = feed(1010L) // straggler INSIDE lateness window: kept (current session)
+    assert(b.n_events === 3L && b.n_sessions === 1L && b.n_late_dropped === 0L)
+    val c = feed(900L) // older than watermark: dropped, counted, state untouched
+    assert(c.n_events === 3L && c.n_sessions === 1L && c.n_late_dropped === 1L)
+    val d = feed(1300L) // gap > 100 past lastTs=1050: a new session opens
+    assert(d.n_sessions === 2L && d.n_events === 4L && d.n_late_dropped === 1L)
+  }
+}
+
+/** Minimal GroupState stub for driving mapGroupsWithState logic in-process. */
+private class TestGroupState[S](initial: Option[S])
+    extends org.apache.spark.sql.streaming.GroupState[S] {
+  var stored: Option[S] = initial
+  override def exists: Boolean = stored.isDefined
+  override def get: S = stored.get
+  override def getOption: Option[S] = stored
+  override def update(newState: S): Unit = { stored = Some(newState) }
+  override def remove(): Unit = { stored = None }
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(durationMs: Long): Unit = ()
+  override def setTimeoutDuration(duration: String): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
 }
