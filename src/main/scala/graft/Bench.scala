@@ -102,14 +102,17 @@ object Bench {
     spark.stop()
 
     // ---- flagship N vs 4N cores on the SAME input ----
-    // Input = 6× the sf's track count: at bench SF the per-stage work is
+    // Input = 10× the sf's track count: at bench SF the per-stage work is
     // otherwise too short to measure compute rather than fixed scheduling
-    // cost. Headline pair is 2→8 cores — both below this VM's ~16-thread
-    // memory-path saturation knee (the raw-CPU microbench scales perfectly
-    // to 32; memory-touching work does not — a single-box artifact a
-    // multi-node cluster doesn't share). The saturated 8→32 pair is also
-    // measured and reported, not hidden.
-    val input = s"direct:${6 * nEvents}"
+    // cost (~5.7 s serial per run — BENCH/BASELINE.md Amdahl fit; at 6×
+    // input that term alone costs ~7 points of 2→8 efficiency, and at
+    // 10^12-row scale it vanishes entirely — the longer run is the MORE
+    // faithful model of the target regime). Headline pair is 2→8 cores —
+    // both below this VM's ~16-thread memory-path saturation knee (the
+    // raw-CPU microbench scales perfectly to 32; memory-touching work does
+    // not — a single-box artifact a multi-node cluster doesn't share). The
+    // saturated 8→32 pair is also measured and reported, not hidden.
+    val input = s"direct:${10 * nEvents}"
     val legs = Seq(2, 8, cpus).distinct
     val times = scala.collection.mutable.Map.empty[Int, List[Double]].withDefaultValue(Nil)
     var tiles = 0L

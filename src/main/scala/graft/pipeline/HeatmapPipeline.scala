@@ -36,12 +36,22 @@ object HeatmapPipeline {
     }
   }
 
+  /** Tracks per map task for synthesized inputs: DATA-sized splits, like
+    * file splits on a real cluster — the split count follows the input, not
+    * the core count, so (a) the map-side aggregation buffers are bounded
+    * per task regardless of parallelism (250k tracks/task OOM'd an 8 GiB
+    * heap through the tile-buffer partials; 15k ≈ 90 MB peak) and (b) the
+    * strong-scaling legs run the IDENTICAL plan — same splits, same
+    * shuffle partitioning — with only the resources changing. */
+  val TracksPerSplit = 15000L
+
   /** Cheap track synthesis that skips image encode/decode (bench path —
     * identical traces because both derive from phashOf(i)). */
   def tracksDirect(n: Long, users: Int = DefaultUsers)(
       implicit spark: SparkSession): Dataset[Track] = {
     import spark.implicits._
-    spark.range(n).map { i =>
+    val splits = math.max(8L, n / TracksPerSplit).toInt
+    spark.range(0, n, 1, splits).map { i =>
       val ph = ImageSynth.phashOf(i)
       Track(i, TraceSynth.userOf(ph, users), TraceSynth.trace(ph))
     }
@@ -62,10 +72,14 @@ object HeatmapPipeline {
           stripes: Int = 1)(
       implicit spark: SparkSession): HeatmapResult = {
     // the rasterize flatMap is the CPU-dominant narrow stage: spread it over
-    // every core even when the source is a single parquet split
+    // every core even when the source is a single parquet split. An input
+    // that already carries at least one split per core (e.g. tracksDirect's
+    // data-sized splits) passes through untouched — no extra exchange.
     val par = spark.sparkContext.defaultParallelism * 2
     val spread =
-      if (tracks.rdd.getNumPartitions < par) tracks.repartition(par) else tracks
+      if (tracks.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        tracks.repartition(par)
+      else tracks
     // single-exchange z14 at TILE grain: the exchange carries one compact
     // buffer per (map partition × tile) instead of millions of pixel rows
     // (HeatmapAgg.tileCells; equality proven in HeatmapAggSpec). The cached
