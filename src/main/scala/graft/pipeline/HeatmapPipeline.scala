@@ -39,11 +39,16 @@ object HeatmapPipeline {
   /** Tracks per map task for synthesized inputs: DATA-sized splits, like
     * file splits on a real cluster — the split count follows the input, not
     * the core count, so (a) the map-side aggregation buffers are bounded
-    * per task regardless of parallelism (250k tracks/task OOM'd an 8 GiB
-    * heap through the tile-buffer partials; 15k ≈ 90 MB peak) and (b) the
-    * strong-scaling legs run the IDENTICAL plan — same splits, same
-    * shuffle partitioning — with only the resources changing. */
-  val TracksPerSplit = 15000L
+    * per task regardless of parallelism and (b) the strong-scaling legs run
+    * the IDENTICAL plan — same splits, same shuffle partitioning — with
+    * only the resources changing. Sized for the WORST concurrency: ~6k
+    * tracks ≈ 1.4M distinct (pixel, user) pairs ≈ 70 MB of open-addressing
+    * buffer per task; 32 concurrent tasks ≈ 2.2 GB, comfortable in an
+    * 8 GiB heap (250k-track tasks OOM'd the 2-core leg, 15k-track tasks
+    * OOM'd 32 concurrent ones — per-task memory × max concurrency is the
+    * binding constraint, exactly like executor-memory ÷ task-slots on a
+    * real cluster). */
+  val TracksPerSplit = 6000L
 
   /** Cheap track synthesis that skips image encode/decode (bench path —
     * identical traces because both derive from phashOf(i)). */
