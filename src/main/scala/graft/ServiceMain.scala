@@ -37,6 +37,11 @@ import graft.stream.StreamingHeatmap
 object ServiceMain {
   val MaxZoom = 14
 
+  /** Below this many tiles a full export skips the histogram-sized range
+    * shuffle — the observe pass over the tile stream costs more than the
+    * balance buys on a small tree. */
+  val BalanceExportMinTiles = 10000L
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().appName("graft-heatmap-service").getOrCreate()
     run(spark)
@@ -86,7 +91,9 @@ object ServiceMain {
    * full export. The marker moves only AFTER the files land: a crash
    * mid-export re-exports the same tiles idempotently.
    */
-  def exportTiles(store: TileStore, mvtDir: String)(implicit spark: SparkSession): Unit = {
+  def exportTiles(store: TileStore, mvtDir: String,
+                  balanceMinTiles: Long = BalanceExportMinTiles)(
+      implicit spark: SparkSession): Unit = {
     val head = store.currentVersion
     val since = store.exportedVersion
     if (head <= since) return
@@ -114,7 +121,23 @@ object ServiceMain {
       import spark.implicits._
       val tiles = graft.mvt.MvtJobs.encodeTiles(
         subset.select("z", "gx", "gy", "users", "trips").as[GlobalPixel])
-      graft.mvt.MvtJobs.writeMvtFiles(tiles, mvtDir)
+      if (since == 0) {
+        // full export — the O(world) write. Persist the encoded blobs (the
+        // observe passes re-read the stream) and, when the tree is big
+        // enough to amortize the histogram pass, range-shuffle it into
+        // byte-balanced contiguous neighborhoods before fanning out files.
+        tiles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val balance =
+            if (tiles.count() >= balanceMinTiles)
+              Some(spark.sparkContext.defaultParallelism)
+            else None
+          graft.mvt.MvtJobs.writeMvtFiles(tiles, mvtDir, balance)
+        } finally tiles.unpersist()
+      } else
+        // dirty-tile export: the set is bounded by the batch, not the
+        // world — the observe pass would cost more than it saves
+        graft.mvt.MvtJobs.writeMvtFiles(tiles, mvtDir)
     }
     writeTileJson(mvtDir)
     store.markExported(head)

@@ -137,4 +137,29 @@ class ServiceMainSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(after(k)._1, bytes), s"tile $k differs from full export")
     }
   }
+
+  test("full export with the balanced range shuffle writes the same tree as the plain path") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    def seed(threshold: Long) = {
+      val out = Files.createTempDirectory("svc-balexp").toString
+      val store = new graft.io.TileStore(s"$out/store")
+      val tracks = s.createDataset((0L until N).map { i =>
+        val ph = ImageSynth.phashOf(i)
+        Track(i, TraceSynth.userOf(ph, 6), TraceSynth.trace(ph))
+      })
+      graft.pipeline.Incremental.processBatch(store, tracks, -1L, N - 1L)
+      ServiceMain.exportTiles(store, s"$out/mvt", balanceMinTiles = threshold)
+      val root = java.nio.file.Paths.get(s"$out/mvt")
+      val st = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(_.toString.endsWith(".mvt"))
+          .map(p => root.relativize(p).toString -> Files.readAllBytes(p).toSeq).toMap
+      } finally st.close()
+    }
+    val balanced = seed(threshold = 0L)   // forces the histogram-sized range shuffle
+    val plain = seed(threshold = Long.MaxValue)
+    assert(balanced.nonEmpty && balanced === plain)
+  }
 }

@@ -81,4 +81,28 @@ class TileRangesSpec extends AnyFunSuite {
     }
     tiles.unpersist()
   }
+
+  test("balanced sink writes a byte-identical file tree to the plain sink") {
+    implicit val s: SparkSession = spark
+    val tiles = skewedTiles.persist()
+    val base = java.nio.file.Files.createTempDirectory("tileranges-sink")
+    val plainDir = base.resolve("plain").toString
+    val balDir = base.resolve("balanced").toString
+    MvtJobs.writeMvtFiles(tiles, plainDir)
+    MvtJobs.writeMvtFiles(tiles, balDir, balanceParts = Some(8))
+    tiles.unpersist()
+
+    def tree(root: String): Map[String, Long] = {
+      val r = java.nio.file.Paths.get(root)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(r).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => r.relativize(p).toString -> java.nio.file.Files.size(p))
+        .toMap
+    }
+    val (plain, bal) = (tree(plainDir), tree(balDir))
+    assert(plain.nonEmpty && plain === bal,
+      s"trees differ: only-plain=${(plain.keySet -- bal.keySet).take(3)} " +
+        s"only-balanced=${(bal.keySet -- plain.keySet).take(3)}")
+  }
 }
