@@ -88,15 +88,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query estimator: min of 2 runs (same min statistic as the
+    // flagship legs — host noise only ever inflates a run). Pass 1 also
+    // absorbs the one-time costs that made single-run totals swing ±35 %
+    // between sessions (shared-dump materialization, parquet page cache,
+    // JIT); pass 2 measures the steady state a resident service would see.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // cache-ownership contract: a query may persist intermediates for its
-      // own lifetime; the harness owns the session and clears the cache
-      // between queries so nothing leaks into the next measurement.
-      spark.sharedState.cacheManager.clearCache()
-      name -> dt
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // cache-ownership contract: a query may persist intermediates for
+        // its own lifetime; the harness owns the session and clears the
+        // cache between runs so nothing leaks into the next measurement.
+        spark.sharedState.cacheManager.clearCache()
+        dt
+      }
+      name -> math.min(once(), once())
     }
     val nEvents = graft.queries.Tables.events(spark, sfDir).count()
     spark.stop()
@@ -166,9 +174,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship":$flagshipJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","query_protocol":"min of 2, cache-cleared",""" +
+      s""""queries":$qs,"sf":"$sfDir","flagship":$flagshipJson}"""
     val shortJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","query_protocol":"min of 2, cache-cleared","n_queries":${results.size},""" +
       s""""queries_file":"BENCH_LAST.json","sf":"$sfDir","flagship":$flagshipJson}"""
 
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
