@@ -126,7 +126,13 @@ object Bench {
     var tiles = 0L
 
     System.err.println(s"[bench] flagship warm round over legs ${legs.mkString(",")}")
-    legs.foreach { c => tiles = runLeg(c, input)._1 } // discarded: JIT + page-cache warm
+    // warm round (discarded timings: JIT + page cache) doubles as the
+    // parallelism-invariance gate — every leg must render the IDENTICAL
+    // tile set or the scaling ratios compare different computations
+    val warmTiles = legs.map(c => c -> runLeg(c, input)._1)
+    require(warmTiles.map(_._2).distinct.size == 1,
+      s"parallelism changed the output: tiles per leg = $warmTiles")
+    tiles = warmTiles.head._2
     (1 to Rounds).foreach { round =>
       legs.foreach { c =>
         val (_, secs) = runLeg(c, input)
