@@ -184,4 +184,53 @@ object Dedup {
     val sh = shingles(text, window)
     if (sh.isEmpty) 0L else sh.iterator.map(shingleHash).min
   }
+
+  /** Blocks of a 64-bit fingerprint split into `n` pieces (the last block
+    * takes the remainder bits). Pure kernel for the multi-index join. */
+  def phashBlocks(ph: Long, n: Int): Seq[(Int, Long)] = {
+    val width = 64 / n
+    (0 until n).map { b =>
+      val lo = b * width
+      val w = if (b == n - 1) 64 - lo else width
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      (b, (ph >>> lo) & mask)
+    }
+  }
+
+  /**
+   * EXACT hamming-distance near-duplicate pairs over 64-bit perceptual
+   * hashes (image dedup on the input table's `phash` column).
+   *
+   * Multi-index blocking: the 64 bits split into `maxDist + 1` blocks; by
+   * pigeonhole, two hashes within hamming `maxDist` agree on at least one
+   * whole block, so block-equality candidate generation has recall exactly
+   * 1 — the verify step (`bit_count(a xor b) <= maxDist`) makes the
+   * operator exact, not approximate (unlike the MinHash/SimHash families).
+   *
+   * Scale shape: the only shuffles are the (block, value) equi-self-join
+   * and the candidate `distinct`; both are bounded by Σ bucket² under the
+   * `maxBucket` cap (a degenerate bucket — e.g. flat images sharing one
+   * phash — is dropped from that block with exact observable metrics,
+   * same contract as the LSH joins). No O(n²) anywhere.
+   *
+   * Input: (id: Long, phash: Long). Output: (a, b, dist) with a < b.
+   */
+  def phashNearDups(imgs: DataFrame, maxDist: Int = 3, maxBucket: Int = 4096,
+                    capObs: Option[org.apache.spark.sql.Observation] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 15, s"maxDist $maxDist outside [0, 15]")
+    import spark.implicits._
+    val nBlocks = maxDist + 1
+    val blocks = imgs.select("id", "phash").as[(Long, Long)]
+      .flatMap { case (id, ph) => phashBlocks(ph, nBlocks).map { case (b, v) => (b, v, id, ph) } }
+      .toDF("blk", "bval", "id", "phash")
+    val capped = graft.spark.BucketCap.cap(blocks, Seq("blk", "bval"), maxBucket, capObs)
+    capped.as("l").join(capped.as("r"),
+        $"l.blk" === $"r.blk" && $"l.bval" === $"r.bval" && $"l.id" < $"r.id")
+      .select($"l.id".as("a"), $"r.id".as("b"), $"l.phash".as("pa"), $"r.phash".as("pb"))
+      .distinct() // a pair can collide on several blocks
+      .withColumn("dist", bit_count($"pa".bitwiseXOR($"pb")).cast("long"))
+      .where($"dist" <= maxDist)
+      .select($"a", $"b", $"dist")
+  }
 }

@@ -26,6 +26,9 @@ object GraftQueries {
     * not by corpus size). */
   val ImageQueryRows = 1000L
 
+  /** Corpus size for the phash near-dup join (128 planted groups of 4). */
+  val PhashQueryRows = 512L
+
   /** events rows → deterministic tracks (event_id seeds the lattice walk,
     * the real user_id drives k-anonymity). */
   def eventTracks(s: SparkSession, d: String) = {
@@ -345,6 +348,18 @@ object GraftQueries {
           (r.image_id, f00, f01, f10, f11)
         }
       }.toDF("image_id", "f00", "f01", "f10", "f11")
+    }),
+
+    // exact hamming-distance image dedup over the phash column: multi-index
+    // block join (pigeonhole recall 1) + bit_count verify. The corpus has
+    // PLANTED near-dup groups of 4 (plantedPhash), so the result exercises
+    // the whole hamming 0-3 band, not an accidentally-empty join.
+    "q_img_phash_neardups" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val imgs = sp.range(PhashQueryRows).as[Long]
+        .map(i => (i, ImageSynth.plantedPhash(i))).toDF("id", "phash")
+      graft.dedup.Dedup.phashNearDups(imgs, maxDist = 3)
     })
   )
 
@@ -390,6 +405,12 @@ object GraftQueries {
       val n = graft.image.ImageOps.stubFrameCount(r.image_id, r.bytes.length)
       s"('${r.image_id}', $n, ${(n - 1) * 1000L})"
     }.mkString(", ")
+
+  /** The planted phash corpus as literals — the DuckDB side recomputes the
+    * near-dup pairs by brute-force cross join, independent of the engine's
+    * multi-index block join. */
+  private lazy val phashValues: String =
+    (0L until PhashQueryRows).map(i => s"($i, ${ImageSynth.plantedPhash(i)})").mkString(", ")
 
   lazy val oracleSql: Map[String, String] = Map(
     "q_geo_pip_join" ->
@@ -501,6 +522,14 @@ object GraftQueries {
     "q_img_features" ->
       s"""SELECT image_id, CAST(f00 AS DOUBLE) AS f00, CAST(f01 AS DOUBLE) AS f01,
                  CAST(f10 AS DOUBLE) AS f10, CAST(f11 AS DOUBLE) AS f11
-          FROM (VALUES $imgFeatureValues) AS t(image_id, f00, f01, f10, f11)"""
+          FROM (VALUES $imgFeatureValues) AS t(image_id, f00, f01, f10, f11)""",
+    // the oracle is a brute-force cross join — an INDEPENDENT computation
+    // of the same pairs the multi-index block join must find exactly
+    "q_img_phash_neardups" ->
+      s"""WITH imgs(id, ph) AS (VALUES $phashValues)
+          SELECT CAST(a.id AS BIGINT) AS a, CAST(b.id AS BIGINT) AS b,
+                 CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
+          FROM imgs a JOIN imgs b ON a.id < b.id
+          WHERE bit_count(xor(a.ph, b.ph)) <= 3"""
   )
 }

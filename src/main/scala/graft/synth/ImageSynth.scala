@@ -22,6 +22,24 @@ object ImageSynth {
 
   def phashOf(i: Long): Long = TraceSynth.mix64(i ^ 0x5EEDCAFEBABEL)
 
+  /** Deterministic phash corpus WITH planted near-duplicates: images come
+    * in groups of 4 sharing a base hash; member v of a group (v = i % 4)
+    * has exactly v bits flipped at distinct positions, so every group
+    * holds pairs across the hamming spectrum 0-6 while cross-group pairs
+    * are ~random 64-bit (hamming ≈ 32). Drives the phash near-dup join
+    * and its DuckDB oracle. */
+  def plantedPhash(i: Long): Long = {
+    val base = phashOf(i >> 2)
+    val v = (i & 3).toInt
+    var h = base
+    var j = 0
+    while (j < v) {
+      h ^= 1L << (((i * 13 + j * 17) % 64).toInt)
+      j += 1
+    }
+    h
+  }
+
   def fmtOf(i: Long): String = if (i % 2 == 0) "png" else "jpg"
 
   def dimsOf(i: Long): (Int, Int) = {

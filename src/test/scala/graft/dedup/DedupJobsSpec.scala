@@ -80,4 +80,48 @@ class DedupJobsSpec extends AnyFunSuite {
     val recall = got.toSet.intersect(plantedPairs).size.toDouble / plantedPairs.size
     assert(recall >= 0.8, s"recall under cap $recall")
   }
+
+  test("phashNearDups == brute-force hamming pairs (recall exactly 1, not approximate)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val n = 512L
+    val phs = (0L until n).map(i => (i, graft.synth.ImageSynth.plantedPhash(i)))
+    val got = Dedup.phashNearDups(phs.toDF("id", "phash"), maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+
+    val exact = (for {
+      (a, pa) <- phs; (b, pb) <- phs if a < b
+      d = Dedup.hamming(pa, pb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(exact.nonEmpty, "planted corpus must produce near-dup pairs")
+    // the full non-trivial hamming band is exercised, including the
+    // boundary dist == 3 (dist 0 would need two identical phashes — the
+    // planted corpus keeps all hashes distinct; identical-hash handling
+    // is covered by the degenerate-cluster test below)
+    assert((1L to 3L).forall(d => exact.exists(_._3 == d)), "spectrum gap in planted corpus")
+    assert(got === exact,
+      s"missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
+  }
+
+  test("phashNearDups: degenerate identical-phash cluster is capped with observed drops") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // 300 flat images sharing ONE phash (every block collides) + a normal tail
+    val flat = (0L until 300L).map(i => (i, 0x0123456789ABCDEFL))
+    val tail = (1000L until 1200L).map(i => (i, graft.synth.ImageSynth.plantedPhash(i)))
+    val obs = Observation("phash-cap")
+    val got = Dedup.phashNearDups((flat ++ tail).toDF("id", "phash"),
+        maxDist = 3, maxBucket = 50, capObs = Some(obs))
+      .as[(Long, Long, Long)].collect()
+    val metrics = obs.get
+    assert(metrics("dropped_rows").asInstanceOf[Long] > 0L)
+    assert(!got.exists { case (a, b, _) => a < 300L && b < 300L },
+      "capped cluster must not self-join")
+    // the tail's planted pairs are unaffected by the cap
+    val tailExact = (for {
+      (a, pa) <- tail; (b, pb) <- tail if a < b
+      d = Dedup.hamming(pa, pb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got.filter(p => p._1 >= 1000L).toSet === tailExact)
+  }
 }

@@ -81,6 +81,30 @@ class DedupSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("phashBlocks: disjoint cover of all 64 bits; reassembly round-trips") {
+    val rnd = new java.util.Random(11)
+    (1 to 50).foreach { _ =>
+      val ph = rnd.nextLong()
+      (1 to 8).foreach { n =>
+        val blocks = Dedup.phashBlocks(ph, n)
+        assert(blocks.size === n)
+        val width = 64 / n
+        val rebuilt = blocks.foldLeft(0L) { case (acc, (b, v)) => acc | (v << (b * width)) }
+        assert(rebuilt === ph, s"n=$n lost bits")
+      }
+    }
+    // pigeonhole witness: flipping maxDist bits leaves >= 1 of maxDist+1 blocks equal
+    (1 to 50).foreach { _ =>
+      val ph = rnd.nextLong()
+      val maxDist = 3
+      var flipped = ph
+      (0 until maxDist).foreach(j => flipped ^= 1L << rnd.nextInt(64))
+      val a = Dedup.phashBlocks(ph, maxDist + 1)
+      val b = Dedup.phashBlocks(flipped, maxDist + 1)
+      assert(a.zip(b).exists { case (x, y) => x == y }, "pigeonhole violated")
+    }
+  }
+
   test("fingerprint: deterministic, window-sensitive") {
     val t = "some document text for fingerprinting purposes"
     assert(Dedup.fingerprint(t) === Dedup.fingerprint(t))
