@@ -43,6 +43,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("phash near-dup join: equi-join on block keys, never a cartesian product") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val imgs = (0L until 64L).map(i => (i, graft.synth.ImageSynth.plantedPhash(i)))
+      .toDF("id", "phash")
+    val plan = physical(graft.dedup.Dedup.phashNearDups(imgs, maxDist = 3))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // candidate generation must key on (blk, bval) — the a.id < b.id part
+    // rides along as a join condition, not a post-filter over a cross join
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("fused z14: exactly two exchanges (partial (pixel,user), final pixel)") {
     implicit val s: SparkSession = spark
     import s.implicits._
