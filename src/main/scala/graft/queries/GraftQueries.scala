@@ -360,6 +360,33 @@ object GraftQueries {
       val imgs = sp.range(PhashQueryRows).as[Long]
         .map(i => (i, ImageSynth.plantedPhash(i))).toDF("id", "phash")
       graft.dedup.Dedup.phashNearDups(imgs, maxDist = 3)
+    }),
+
+    // STREAMING near-dedup driven to completion over 4 id-ordered
+    // micro-batches — the result below is the actual stateful stream's
+    // output (bucketed flatMapGroupsWithState state), oracled against an
+    // independent DuckDB correlated-EXISTS over the same corpus.
+    "q_stream_neardup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val df = sp.range(PhashQueryRows).as[Long]
+        .map(i => (i, ImageSynth.plantedPhash(i))).toDF("id", "phash")
+      val base = java.nio.file.Files.createTempDirectory("q-stream-neardup").toString
+      val flat = s"$base/flat"
+      new java.io.File(flat).mkdirs()
+      val slice = PhashQueryRows / 4
+      (0 until 4).foreach { i =>
+        val dir = s"$base/c$i"
+        df.where(col("id") >= i * slice && col("id") < (i + 1) * slice)
+          .coalesce(1).write.parquet(dir)
+        new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, j) =>
+            java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(flat, s"p-$i-$j.parquet"))
+          }
+      }
+      graft.stream.StreamDedup
+        .runOnce(flat, df.schema, s"q_stream_neardup_${System.nanoTime()}")
+        .select(col("id"), col("phash"), col("is_dup"))
     })
   )
 
@@ -530,6 +557,12 @@ object GraftQueries {
           SELECT CAST(a.id AS BIGINT) AS a, CAST(b.id AS BIGINT) AS b,
                  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
           FROM imgs a JOIN imgs b ON a.id < b.id
-          WHERE bit_count(xor(a.ph, b.ph)) <= 3"""
+          WHERE bit_count(xor(a.ph, b.ph)) <= 3""",
+    "q_stream_neardup" ->
+      s"""WITH imgs(id, ph) AS (VALUES $phashValues)
+          SELECT CAST(a.id AS BIGINT) AS id, CAST(a.ph AS BIGINT) AS phash,
+                 EXISTS(SELECT 1 FROM imgs b WHERE b.id < a.id
+                        AND bit_count(xor(a.ph, b.ph)) <= 3) AS is_dup
+          FROM imgs a"""
   )
 }

@@ -1,0 +1,124 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.dedup.Dedup
+
+/**
+ * Streaming image near-deduplication — the crawl-ingest shape of a
+ * training-data pipeline: as image rows arrive, mark each one a near-dup
+ * iff its 64-bit perceptual hash lies within hamming `maxDist` of ANY
+ * image seen before it (earlier micro-batch, or earlier id in the same
+ * batch).
+ *
+ * Distribution reuses the batch operator's pigeonhole index
+ * (`Dedup.phashBlocks`): an image explodes into `maxDist + 1` (block,
+ * value) keys, and any pair within `maxDist` shares at least one whole
+ * block — so per-bucket state (the phashes seen in that bucket) is
+ * sufficient for EXACT detection: the shared bucket is guaranteed to
+ * witness the pair. Each bucket's `flatMapGroupsWithState` group compares
+ * its batch arrivals (sorted by id) against bucket state + earlier
+ * in-batch arrivals and emits one (id, matched-here) row per block; the
+ * per-image verdict is the OR over its `maxDist + 1` rows (`collapse`).
+ *
+ * Convergence contract (same as `Sessionize`): micro-batch slicing must
+ * respect id order across batches (a file/kafka source replaying an
+ * append log does). Under that contract the stream converges exactly to
+ * the batch oracle: an image is a near-dup iff it appears as the HIGHER
+ * id of some `Dedup.phashNearDups` pair (StreamDedupSpec proves equality
+ * over multi-batch slicings).
+ *
+ * State size: each admitted phash is stored once per block — `maxDist+1`
+ * longs per image, bounded per bucket by `maxBucketState`: a degenerate
+ * bucket (e.g. flat images collapsing onto one phash) stops GROWING once
+ * full — arrivals still match against the retained members (a saturated
+ * bucket keeps catching what it already holds; by pigeonhole a pair can
+ * only be missed if ALL its shared buckets overflowed their cap with
+ * non-witnessing members), and the overflow is observable via the
+ * emitted `bucket_full` flag, never silent.
+ */
+object StreamDedup {
+  final case class ImageIn(id: Long, phash: Long)
+  final case class BlockProbe(blk: Int, bval: Long, id: Long, phash: Long)
+  final case class BlockVerdict(id: Long, phash: Long, matched: Boolean, bucket_full: Boolean)
+  final case class BucketState(phashes: Array[Long])
+
+  val DefaultMaxBucketState = 100000
+
+  /** Per-bucket micro-batch update: arrivals sorted by id, each compared
+    * against state + earlier (lower-id) arrivals of the same batch. Every
+    * arrival is then retained in state (capped), matched or not — the
+    * semantics is "dup of anything SEEN earlier", not "of anything kept":
+    * bucket-locally decidable, so no cross-bucket coordination exists. */
+  def updateBucket(maxDist: Int, maxBucketState: Int)(
+      key: (Int, Long), rows: Iterator[BlockProbe],
+      state: GroupState[BucketState]): Iterator[BlockVerdict] = {
+    val sorted = rows.toArray.sortBy(_.id)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    state.getOption.foreach(s => seen ++= s.phashes)
+    val out = sorted.map { p =>
+      var m = false
+      var i = 0
+      while (!m && i < seen.length) {
+        if (Dedup.hamming(seen(i), p.phash) <= maxDist) m = true
+        i += 1
+      }
+      val full = seen.length >= maxBucketState
+      if (!full) seen += p.phash
+      BlockVerdict(p.id, p.phash, m, full)
+    }
+    state.update(BucketState(seen.toArray))
+    out.iterator
+  }
+
+  /** Streaming transform: image rows → one verdict row per block key. */
+  def nearDupStream(images: DataFrame, maxDist: Int = 3,
+                    maxBucketState: Int = DefaultMaxBucketState)(
+      implicit spark: SparkSession): Dataset[BlockVerdict] = {
+    import spark.implicits._
+    images.select("id", "phash").as[ImageIn]
+      .flatMap { im =>
+        Dedup.phashBlocks(im.phash, maxDist + 1).map { case (b, v) =>
+          BlockProbe(b, v, im.id, im.phash)
+        }
+      }
+      .groupByKey(p => (p.blk, p.bval))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        updateBucket(maxDist, maxBucketState))
+  }
+
+  /** Per-image verdicts from the per-block relation: OR over blocks. */
+  def collapse(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("id"))
+      .agg(max(col("phash")).as("phash"),
+        max(col("matched")).cast("boolean").as("is_dup"),
+        max(col("bucket_full")).cast("boolean").as("any_bucket_full"))
+
+  /** Batch oracle: an image is a near-dup iff some LOWER-id image lies
+    * within `maxDist` — i.e. iff it is the `b` side of a
+    * `Dedup.phashNearDups` pair (the already-oracled exact batch join). */
+  def nearDupBatch(images: DataFrame, maxDist: Int = 3)(
+      implicit spark: SparkSession): DataFrame = {
+    val dups = Dedup.phashNearDups(images, maxDist)
+      .select(col("b").as("id")).distinct().withColumn("is_dup", lit(true))
+    images.select("id", "phash").join(dups, Seq("id"), "left_outer")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+  }
+
+  /** Drive a file source to completion (AvailableNow) and return the
+    * collapsed per-image verdicts. */
+  def runOnce(sourceDir: String, schema: org.apache.spark.sql.types.StructType,
+              queryName: String, maxDist: Int = 3)(
+      implicit spark: SparkSession): DataFrame = {
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(sourceDir)
+    val q = nearDupStream(src, maxDist).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    collapse(spark.table(queryName))
+  }
+}
