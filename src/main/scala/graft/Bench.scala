@@ -37,25 +37,32 @@ object Bench {
   /** One flagship pass (rasterize → k-anon → pyramid → MVT) in an existing
     * session; returns (tiles, seconds). `input` is "direct:N" (N synthesized
     * tracks) or an sf dir (events-derived tracks). */
-  private def flagshipOnce(spark: SparkSession, input: String): (Long, Double) = {
+  private def flagshipOnce(spark: SparkSession, input: String): (Long, Long, Double) = {
     implicit val s: SparkSession = spark
+    import org.apache.spark.sql.functions.{col, count, hash, lit, sum}
     val t0 = System.nanoTime()
     val tracks =
       if (input.startsWith("direct:"))
         graft.pipeline.HeatmapPipeline.tracksDirect(input.stripPrefix("direct:").toLong)
       else graft.queries.GraftQueries.eventTracks(spark, input)
     val result = graft.pipeline.HeatmapPipeline.run(tracks)
-    val tiles = graft.pipeline.HeatmapPipeline.mvtAll(result).count()
+    // one aggregate action: tile count + an order-independent content
+    // fingerprint (sum of per-tile murmur3 over key AND blob bytes) — the
+    // invariance gate needs the SET of rendered tiles, not just its size
+    val row = graft.pipeline.HeatmapPipeline.mvtAll(result)
+      .agg(count(lit(1)), sum(hash(col("z"), col("tx"), col("ty"), col("mvt")).cast("long")))
+      .head()
+    val (tiles, fp) = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
     val secs = (System.nanoTime() - t0) / 1e9
     result.release()
-    (tiles, secs)
+    (tiles, fp, secs)
   }
 
   /** One flagship run in a FRESH session at `cpus` (session startup is
     * outside the timed region). AQE is OFF on this path: the strong-scaling
     * protocol fixes the plan (64 shuffle partitions at every cluster size),
     * so AQE's per-exchange replan barriers would only add serial time. */
-  private def runLeg(cpus: Int, input: String): (Long, Double) = {
+  private def runLeg(cpus: Int, input: String): (Long, Long, Double) = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
@@ -128,21 +135,22 @@ object Bench {
     System.err.println(s"[bench] flagship warm round over legs ${legs.mkString(",")}")
     // warm round (discarded timings: JIT + page cache) doubles as the
     // parallelism-invariance gate — every leg must render the IDENTICAL
-    // tile set or the scaling ratios compare different computations
-    val warmTiles = legs.map(c => c -> runLeg(c, input)._1)
-    require(warmTiles.map(_._2).distinct.size == 1,
-      s"parallelism changed the output: tiles per leg = $warmTiles")
-    tiles = warmTiles.head._2
+    // tile set (count AND order-independent content fingerprint over the
+    // encoded blobs) or the scaling ratios compare different computations
+    val warm = legs.map { c => val (t, fp, _) = runLeg(c, input); (c, t, fp) }
+    require(warm.map(w => (w._2, w._3)).distinct.size == 1,
+      s"parallelism changed the output: (leg, tiles, fingerprint) = $warm")
+    tiles = warm.head._2
     (1 to Rounds).foreach { round =>
       legs.foreach { c =>
-        val (_, secs) = runLeg(c, input)
+        val (_, _, secs) = runLeg(c, input)
         times(c) ::= secs
         System.err.println(f"[bench] flagship leg=$c round=$round sec=$secs%.2f")
       }
     }
     def best(c: Int): Double = times(c).min
     def remeasure(c: Int): Unit = (1 to RemeasureRuns).foreach { _ =>
-      val (_, secs) = runLeg(c, input)
+      val (_, _, secs) = runLeg(c, input)
       times(c) ::= secs
       System.err.println(f"[bench] flagship re-measure leg=$c sec=$secs%.2f")
     }

@@ -372,21 +372,15 @@ object GraftQueries {
       val df = sp.range(PhashQueryRows).as[Long]
         .map(i => (i, ImageSynth.plantedPhash(i))).toDF("id", "phash")
       val base = java.nio.file.Files.createTempDirectory("q-stream-neardup").toString
-      val flat = s"$base/flat"
-      new java.io.File(flat).mkdirs()
-      val slice = PhashQueryRows / 4
-      (0 until 4).foreach { i =>
-        val dir = s"$base/c$i"
-        df.where(col("id") >= i * slice && col("id") < (i + 1) * slice)
-          .coalesce(1).write.parquet(dir)
-        new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (f, j) =>
-            java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(flat, s"p-$i-$j.parquet"))
-          }
-      }
-      graft.stream.StreamDedup
+      val flat = graft.stream.StreamDedup
+        .writeIdOrderedSlices(df, nSlices = 4, sliceSize = PhashQueryRows / 4, base)
+      val out = graft.stream.StreamDedup
         .runOnce(flat, df.schema, s"q_stream_neardup_${System.nanoTime()}")
         .select(col("id"), col("phash"), col("is_dup"))
+      // the memory sink owns the verdicts after termination; the source
+      // files are dead weight (Bench re-runs every query — don't leak)
+      graft.stream.StreamDedup.deleteTree(base)
+      out
     })
   )
 

@@ -60,13 +60,19 @@ object StreamDedup {
     state.getOption.foreach(s => seen ++= s.phashes)
     val out = sorted.map { p =>
       var m = false
+      var exact = false
       var i = 0
-      while (!m && i < seen.length) {
-        if (Dedup.hamming(seen(i), p.phash) <= maxDist) m = true
+      while (i < seen.length && !exact) {
+        val d = Dedup.hamming(seen(i), p.phash)
+        if (d <= maxDist) m = true
+        if (d == 0) exact = true
         i += 1
       }
+      // state holds DISTINCT phashes only: an exact copy adds no matching
+      // power, and a degenerate identical-phash cluster must not burn the
+      // cap on copies (it would evict retention for later distinct hashes)
       val full = seen.length >= maxBucketState
-      if (!full) seen += p.phash
+      if (!full && !exact) seen += p.phash
       BlockVerdict(p.id, p.phash, m, full)
     }
     state.update(BucketState(seen.toArray))
@@ -77,6 +83,7 @@ object StreamDedup {
   def nearDupStream(images: DataFrame, maxDist: Int = 3,
                     maxBucketState: Int = DefaultMaxBucketState)(
       implicit spark: SparkSession): Dataset[BlockVerdict] = {
+    require(maxDist >= 0 && maxDist <= 15, s"maxDist $maxDist outside [0, 15]")
     import spark.implicits._
     images.select("id", "phash").as[ImageIn]
       .flatMap { im =>
@@ -120,5 +127,37 @@ object StreamDedup {
       .start()
     q.awaitTermination()
     collapse(spark.table(queryName))
+  }
+
+  /** Micro-batch harness shared by the spec and the catalog query: write
+    * `df` as `nSlices` id-ranged parquet files under a fresh `base`
+    * (copy order = id order, satisfying the arrival contract) and return
+    * (flatDir, base). Callers delete `base` via `deleteTree` once the
+    * stream has terminated — the memory sink owns the results by then. */
+  def writeIdOrderedSlices(df: DataFrame, nSlices: Int, sliceSize: Long, base: String): String = {
+    import org.apache.spark.sql.functions.col
+    val flat = s"$base/flat"
+    new java.io.File(flat).mkdirs()
+    (0 until nSlices).foreach { i =>
+      val dir = s"$base/c$i"
+      df.where(col("id") >= i * sliceSize && col("id") < (i + 1) * sliceSize)
+        .coalesce(1).write.parquet(dir)
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, j) =>
+          java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(flat, s"p-$i-$j.parquet"))
+        }
+    }
+    flat
+  }
+
+  def deleteTree(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally st.close()
+    }
   }
 }

@@ -92,12 +92,12 @@ class TileRangesSpec extends AnyFunSuite {
     MvtJobs.writeMvtFiles(tiles, balDir, balanceParts = Some(8))
     tiles.unpersist()
 
-    def tree(root: String): Map[String, Long] = {
+    def tree(root: String): Map[String, Seq[Byte]] = {
       val r = java.nio.file.Paths.get(root)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(r).iterator().asScala
         .filter(java.nio.file.Files.isRegularFile(_))
-        .map(p => r.relativize(p).toString -> java.nio.file.Files.size(p))
+        .map(p => r.relativize(p).toString -> java.nio.file.Files.readAllBytes(p).toSeq)
         .toMap
     }
     val (plain, bal) = (tree(plainDir), tree(balDir))

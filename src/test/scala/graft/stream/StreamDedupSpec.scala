@@ -17,16 +17,7 @@ class StreamDedupSpec extends AnyFunSuite {
 
     // id-ordered slices (the arrival contract), one file per micro-batch
     val base = java.nio.file.Files.createTempDirectory("streamdedup").toString
-    val flat = s"$base/flat"
-    new java.io.File(flat).mkdirs()
-    (0 until 3).foreach { i =>
-      val dir = s"$base/c$i"
-      df.where($"id" >= i * 100 && $"id" < (i + 1) * 100).coalesce(1).write.parquet(dir)
-      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (f, j) =>
-          java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(flat, s"p-$i-$j.parquet"))
-        }
-    }
+    val flat = StreamDedup.writeIdOrderedSlices(df, nSlices = 3, sliceSize = 100L, base)
 
     val got = StreamDedup.runOnce(flat, df.schema, "streamdedup_test")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_dup")).toMap
@@ -38,17 +29,26 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(got === want)
   }
 
-  test("saturated degenerate bucket: stops growing, keeps matching, flags loudly") {
+  test("saturated bucket: distinct-only state, stops growing, keeps matching, flags loudly") {
     implicit val s: SparkSession = spark
     import s.implicits._
-    // 60 identical phashes through one batch with a tiny bucket cap
-    val flatImgs = (0L until 60L).map(i => (i, 0x00F0F0F0F0F0F0F0L)).toDF("id", "phash")
+    // one shared low-16-bit block funnels every image into a single bucket.
+    // ids 0-29: pairwise-distant high bits (mix64) — no near-dups, so the
+    // bucket saturates at cap 10 with DISTINCT members (state dedups exact
+    // copies, so identical hashes could never saturate it). ids 30-59:
+    // exact copies of id 5's hash — 5 was RETAINED, so a saturated bucket
+    // must still match them.
+    def distinctHigh(i: Long): Long = (graft.synth.TraceSynth.mix64(i) & ~0xFFFFL) | 0xBEEFL
+    val first30 = (0L until 30L).map(i => (i, distinctHigh(i)))
+    // construction sanity: the no-near-dup premise must actually hold
+    for { (a, pa) <- first30; (b, pb) <- first30 if a < b }
+      assert(graft.dedup.Dedup.hamming(pa, pb) > 3, s"seeds $a,$b accidentally near")
+    val imgs = (first30 ++ (30L until 60L).map(i => (i, distinctHigh(5L)))).toDF("id", "phash")
     val base = java.nio.file.Files.createTempDirectory("streamdedup-cap").toString + "/imgs"
-    flatImgs.coalesce(1).write.parquet(base)
+    imgs.coalesce(1).write.parquet(base)
 
     val verdicts = {
-      val src = s.readStream.schema(flatImgs.schema)
-        .parquet(base)
+      val src = s.readStream.schema(imgs.schema).parquet(base)
       val q = StreamDedup.nearDupStream(src, maxDist = 3, maxBucketState = 10).writeStream
         .format("memory").queryName("streamdedup_cap")
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
@@ -59,10 +59,10 @@ class StreamDedupSpec extends AnyFunSuite {
         .collect().map(r => (r.getAs[Long]("id"),
           r.getAs[Boolean]("is_dup"), r.getAs[Boolean]("any_bucket_full")))
     }
-    // every image after the first is a dup (identical phash) even though
-    // the bucket stopped retaining members after 10
-    assert(verdicts.filter(_._1 > 0L).forall(_._2), "saturated bucket must keep matching")
-    assert(!verdicts.find(_._1 == 0L).get._2, "first arrival is the original")
-    assert(verdicts.exists(_._3), "overflow must be flagged, never silent")
+    val byId = verdicts.map(v => v._1 -> v).toMap
+    assert((0L until 30L).forall(!byId(_)._2), "pairwise-distant seeds must not be dups")
+    assert((30L until 60L).forall(byId(_)._2), "saturated bucket must keep matching retained members")
+    assert((10L until 30L).forall(byId(_)._3), "overflow must be flagged, never silent")
+    assert((0L until 10L).forall(!byId(_)._3), "pre-saturation arrivals must not be flagged")
   }
 }
