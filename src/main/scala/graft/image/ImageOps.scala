@@ -96,6 +96,90 @@ object ImageOps {
     images.mapPartitions(batch => batch.map(r => thumbnailOf(r, targetW, targetH)))
   }
 
+  /** DCT perceptual hash (pHash) of decoded pixels — REAL, pure-JDK: the
+    * engine computes the fingerprint the hamming dedup joins consume,
+    * rather than trusting the input table's `phash` column. Pipeline:
+    * luma (BT.601) area-binned to 32×32 → 2-D DCT-II → top-left 8×8
+    * low-frequency block → bit i set iff coefficient i exceeds the mean of
+    * the 63 AC coefficients (DC's bit is ~always set; a constant bit is
+    * harmless for DISTANCES, which is all hamming dedup uses). Robust to
+    * re-encoding (PNG↔high-quality JPEG moves low-freq luma barely) and
+    * far apart for spatially distinct content — both gated in PhashSpec. */
+  /** cos((2a+1)·u·π/64) for the 32-point DCT-II, u < 8 — hoisted: the
+    * kernel runs per image row, 64×1024 products each. */
+  private val DctCos: Array[Array[Double]] =
+    Array.tabulate(8, 32)((u, a) => math.cos((2 * a + 1) * u * math.Pi / 64))
+
+  def phash64(img: BufferedImage): Long = {
+    val N = 32
+    val w = img.getWidth
+    val h = img.getHeight
+    val sum = Array.ofDim[Double](N, N)
+    val cnt = Array.ofDim[Int](N, N)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val luma = 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) + 0.114 * (p & 0xFF)
+        sum(y * N / h)(x * N / w) += luma
+        cnt(y * N / h)(x * N / w) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val g = Array.ofDim[Double](N, N)
+    var i = 0
+    while (i < N) {
+      var j = 0
+      while (j < N) { if (cnt(i)(j) > 0) g(i)(j) = sum(i)(j) / cnt(i)(j); j += 1 }
+      i += 1
+    }
+    val coeff = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var a = 0
+        while (a < N) {
+          var b = 0
+          while (b < N) {
+            s += g(a)(b) * DctCos(u)(a) * DctCos(v)(b)
+            b += 1
+          }
+          a += 1
+        }
+        coeff(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val acMean = (coeff.sum - coeff(0)) / 63.0
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if (coeff(k) > acMean) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  final case class ImagePhash(image_id: String, phash: Long)
+
+  /** Batched bytes → perceptual hash (the front half of the end-to-end
+    * image dedup pipeline: computePhashes ∘ Dedup.phashNearDups). */
+  def computePhashes(images: Dataset[ImageRow])(
+      implicit spark: SparkSession): Dataset[ImagePhash] = {
+    import spark.implicits._
+    images.mapPartitions { batch =>
+      batch.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+        ImagePhash(r.image_id, phash64(img))
+      }
+    }
+  }
+
   /** STUB frame count for one media payload (deterministic; exposed so the
     * driver-side oracle can recompute the expectation). */
   def stubFrameCount(id: String, nBytes: Int, maxFrames: Int = 4): Int = {

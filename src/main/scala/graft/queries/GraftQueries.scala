@@ -366,6 +366,21 @@ object GraftQueries {
     // micro-batches — the result below is the actual stateful stream's
     // output (bucketed flatMapGroupsWithState state), oracled against an
     // independent DuckDB correlated-EXISTS over the same corpus.
+    // END-TO-END image dedup: raw bytes → in-engine DCT perceptual hash
+    // (ImageOps.phash64, per-partition batches) → exact hamming join. The
+    // corpus plants harsh JPEG q=0.3 re-encodes of the first originals;
+    // the join must find exactly those pairs. DuckDB independently
+    // recomputes the JOIN over the hash literals (the hash kernel itself
+    // is exactness-gated in PhashSpec: re-encode ≤ cutoff, distinct far).
+    "q_img_dedup_e2e" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val rows = e2eCorpus
+      val hashes = graft.image.ImageOps.computePhashes(sp.createDataset(rows))
+        .map(p => (e2eNumericId(p.image_id), p.phash)).toDF("id", "phash")
+      graft.dedup.Dedup.phashNearDups(hashes, maxDist = 6)
+    }),
+
     "q_stream_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
@@ -432,6 +447,35 @@ object GraftQueries {
     * multi-index block join. */
   private lazy val phashValues: String =
     (0L until PhashQueryRows).map(i => s"($i, ${ImageSynth.plantedPhash(i)})").mkString(", ")
+
+  /** e2e dedup corpus: 96 textured originals (PNG) + harsh JPEG q=0.3
+    * re-encodes of the first 32 — deterministic bytes, so the driver-side
+    * oracle can recompute the hashes with the same kernels. */
+  val E2eOriginals = 96
+  val E2eVariants = 32
+
+  private def e2eCorpus: Seq[graft.model.Schemas.ImageRow] = {
+    def img(i: Long) = ImageSynth.renderTextured(i * 7919L + 101, 48, 48)
+    val originals = (0L until E2eOriginals.toLong).map { i =>
+      graft.model.Schemas.ImageRow(
+        f"orig$i%05d", ImageSynth.encode(img(i), "png"), 48, 48, "png", "", 0L)
+    }
+    val variants = (0L until E2eVariants.toLong).map { i =>
+      graft.model.Schemas.ImageRow(
+        f"vrnt$i%05d", ImageSynth.encodeJpeg(img(i), 0.3f), 48, 48, "jpg", "", 0L)
+    }
+    originals ++ variants
+  }
+
+  private def e2eNumericId(imageId: String): Long =
+    if (imageId.startsWith("orig")) imageId.drop(4).toLong
+    else 100000L + imageId.drop(4).toLong
+
+  private lazy val e2ePhashValues: String =
+    e2eCorpus.map { r =>
+      val ph = graft.image.ImageOps.phash64(ImageSynth.decode(r.bytes))
+      s"(${e2eNumericId(r.image_id)}, $ph)"
+    }.mkString(", ")
 
   lazy val oracleSql: Map[String, String] = Map(
     "q_geo_pip_join" ->
@@ -557,6 +601,12 @@ object GraftQueries {
           SELECT CAST(a.id AS BIGINT) AS id, CAST(a.ph AS BIGINT) AS phash,
                  EXISTS(SELECT 1 FROM imgs b WHERE b.id < a.id
                         AND bit_count(xor(a.ph, b.ph)) <= 3) AS is_dup
-          FROM imgs a"""
+          FROM imgs a""",
+    "q_img_dedup_e2e" ->
+      s"""WITH imgs(id, ph) AS (VALUES $e2ePhashValues)
+          SELECT CAST(a.id AS BIGINT) AS a, CAST(b.id AS BIGINT) AS b,
+                 CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
+          FROM imgs a JOIN imgs b ON a.id < b.id
+          WHERE bit_count(xor(a.ph, b.ph)) <= 6"""
   )
 }

@@ -84,23 +84,51 @@ object ImageSynth {
     img
   }
 
-  def encode(img: BufferedImage, fmt: String): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    if (fmt == "jpg") {
-      // explicit high quality: default (~0.75) lands near 29 dB on gradients,
-      // under the 40 dB PSNR gate; 0.97 clears it with margin
-      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
-      val params = writer.getDefaultWriteParam
-      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      params.setCompressionQuality(0.97f)
-      val ios = ImageIO.createImageOutputStream(out)
-      writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
-      writer.dispose()
-      ios.close()
-    } else {
-      ImageIO.write(img, "png", out)
+  /** Seeded block-texture image (8-px luma cells, constant tint) — the
+    * spatially DIVERSE family the perceptual-hash tests need: the gradient
+    * family (`refPixel`) shares one spatial structure across all seeds, so
+    * two "different" gradient images genuinely LOOK alike and any honest
+    * perceptual hash places them close; distinct texture seeds give
+    * uncorrelated low-frequency signatures instead. */
+  def renderTextured(seed: Long, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cell = (y / 8).toLong * 4096 + (x / 8)
+        val v = (TraceSynth.mix64(seed ^ (cell * 0x9E3779B97F4A7C15L)) >>> 40).toInt & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
     }
+    img
+  }
+
+  def encode(img: BufferedImage, fmt: String): Array[Byte] =
+    // explicit high quality: default (~0.75) lands near 29 dB on gradients,
+    // under the 40 dB PSNR gate; 0.97 clears it with margin
+    if (fmt == "jpg") encodeJpeg(img, 0.97f)
+    else {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+  /** JPEG at an explicit quality (lower qualities synthesize the lossy
+    * re-encode variants the perceptual-hash gates measure against). */
+  def encodeJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose()
+    ios.close()
     out.toByteArray
   }
 
