@@ -110,31 +110,45 @@ object ImageOps {
   private val DctCos: Array[Array[Double]] =
     Array.tabulate(8, 32)((u, a) => math.cos((2 * a + 1) * u * math.Pi / 64))
 
-  def phash64(img: BufferedImage): Long = {
-    val N = 32
+  /** n×n area-binned BT.601 luma grid of a decoded image — the shared
+    * front end of the perceptual hash (n=32) and the pooled-luma
+    * embedding (n=8). */
+  def lumaGrid(img: BufferedImage, n: Int): Array[Array[Double]] = {
     val w = img.getWidth
     val h = img.getHeight
-    val sum = Array.ofDim[Double](N, N)
-    val cnt = Array.ofDim[Int](N, N)
+    val sum = Array.ofDim[Double](n, n)
+    val cnt = Array.ofDim[Int](n, n)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val p = img.getRGB(x, y)
         val luma = 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) + 0.114 * (p & 0xFF)
-        sum(y * N / h)(x * N / w) += luma
-        cnt(y * N / h)(x * N / w) += 1
+        sum(y * n / h)(x * n / w) += luma
+        cnt(y * n / h)(x * n / w) += 1
         x += 1
       }
       y += 1
     }
-    val g = Array.ofDim[Double](N, N)
+    val g = Array.ofDim[Double](n, n)
     var i = 0
-    while (i < N) {
+    while (i < n) {
       var j = 0
-      while (j < N) { if (cnt(i)(j) > 0) g(i)(j) = sum(i)(j) / cnt(i)(j); j += 1 }
+      while (j < n) { if (cnt(i)(j) > 0) g(i)(j) = sum(i)(j) / cnt(i)(j); j += 1 }
       i += 1
     }
+    g
+  }
+
+  /** Flat n²-dim pooled-luma embedding — the deterministic in-engine
+    * feature vector for image similarity search (ANN over images without
+    * an external model; swap in a real encoder at the same signature). */
+  def pooledLumaVec(img: BufferedImage, n: Int = 8): Array[Double] =
+    lumaGrid(img, n).flatten
+
+  def phash64(img: BufferedImage): Long = {
+    val N = 32
+    val g = lumaGrid(img, N)
     val coeff = new Array[Double](64)
     var u = 0
     while (u < 8) {
@@ -166,6 +180,21 @@ object ImageOps {
   }
 
   final case class ImagePhash(image_id: String, phash: Long)
+
+  final case class ImageEmbedding(image_id: String, embedding: Array[Double])
+
+  /** Batched bytes → pooled-luma embedding (the front half of image
+    * similarity search: computeEmbeddings ∘ Ann.bruteForceTopK / IVF). */
+  def computeEmbeddings(images: Dataset[ImageRow], n: Int = 8)(
+      implicit spark: SparkSession): Dataset[ImageEmbedding] = {
+    import spark.implicits._
+    images.mapPartitions { batch =>
+      batch.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+        ImageEmbedding(r.image_id, pooledLumaVec(img, n))
+      }
+    }
+  }
 
   /** Batched bytes → perceptual hash (the front half of the end-to-end
     * image dedup pipeline: computePhashes ∘ Dedup.phashNearDups). */

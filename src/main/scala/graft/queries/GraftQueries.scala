@@ -362,6 +362,20 @@ object GraftQueries {
       graft.dedup.Dedup.phashNearDups(imgs, maxDist = 3)
     }),
 
+    // END-TO-END image similarity search: bytes → in-engine pooled-luma
+    // embedding (per-partition batches) → exact cosine top-k for a harshly
+    // re-encoded probe of original 0 — which must surface as the top hit.
+    // DuckDB recomputes the ranking with list_cosine_similarity over the
+    // same embedding literals (independent cosine + ordering).
+    "q_img_simsearch" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val emb = graft.image.ImageOps.computeEmbeddings(sp.createDataset(simsearchImages))
+        .map(e => (simsearchNumericId(e.image_id), e.embedding)).toDF("vec_id", "embedding")
+      graft.ann.Ann.bruteForceTopK(emb, queryVecId = -1L, k = 10)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    }),
+
     // STREAMING near-dedup driven to completion over 4 id-ordered
     // micro-batches — the result below is the actual stateful stream's
     // output (bucketed flatMapGroupsWithState state), oracled against an
@@ -475,6 +489,32 @@ object GraftQueries {
     e2eCorpus.map { r =>
       val ph = graft.image.ImageOps.phash64(ImageSynth.decode(r.bytes))
       s"(${e2eNumericId(r.image_id)}, $ph)"
+    }.mkString(", ")
+
+  /** Similarity-search corpus: 64 distinct textured originals + one probe
+    * (vec_id −1): a harsh JPEG q=0.3 re-encode of original 0. */
+  val SimsearchImages = 64
+
+  private def simsearchImages: Seq[graft.model.Schemas.ImageRow] = {
+    def img(i: Long) = ImageSynth.renderTextured(i * 15731L + 7, 48, 48)
+    val originals = (0L until SimsearchImages.toLong).map { i =>
+      graft.model.Schemas.ImageRow(
+        f"simg$i%05d", ImageSynth.encode(img(i), "png"), 48, 48, "png", "", 0L)
+    }
+    originals :+ graft.model.Schemas.ImageRow(
+      "qry00000", ImageSynth.encodeJpeg(img(0L), 0.3f), 48, 48, "jpg", "", 0L)
+  }
+
+  private def simsearchNumericId(imageId: String): Long =
+    if (imageId.startsWith("simg")) imageId.drop(4).toLong else -1L
+
+  /** Embeddings as DOUBLE[] literals (shortest-repr doubles round-trip
+    * exactly through DuckDB's literal parser — same scheme as
+    * imgFeatureValues). */
+  private lazy val simsearchValues: String =
+    simsearchImages.map { r =>
+      val v = graft.image.ImageOps.pooledLumaVec(ImageSynth.decode(r.bytes))
+      s"(${simsearchNumericId(r.image_id)}, [${v.mkString(", ")}])"
     }.mkString(", ")
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -607,6 +647,13 @@ object GraftQueries {
           SELECT CAST(a.id AS BIGINT) AS a, CAST(b.id AS BIGINT) AS b,
                  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
           FROM imgs a JOIN imgs b ON a.id < b.id
-          WHERE bit_count(xor(a.ph, b.ph)) <= 6"""
+          WHERE bit_count(xor(a.ph, b.ph)) <= 6""",
+    "q_img_simsearch" ->
+      s"""WITH emb(vec_id, embedding) AS (VALUES $simsearchValues)
+          SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                 round(list_cosine_similarity(embedding,
+                   (SELECT embedding FROM emb WHERE vec_id = -1)), 6) AS sim
+          FROM emb WHERE vec_id <> -1
+          ORDER BY sim DESC, vec_id LIMIT 10"""
   )
 }

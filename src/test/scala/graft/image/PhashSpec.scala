@@ -45,6 +45,28 @@ class PhashSpec extends AnyFunSuite {
     assert(hs.distinct.size <= 2, s"gradient family unexpectedly diverse: ${hs.distinct.size}")
   }
 
+  test("pooled-luma embedding: deterministic; re-encode probe retrieves its original as top hit") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val imgs = (0L until 30L).map { i =>
+      ImageRow(f"simg$i%05d", ImageSynth.encode(tex(i * 15731L + 7), "png"), 48, 48, "png", "", 0L)
+    } :+ ImageRow("qry00000", ImageSynth.encodeJpeg(tex(7L), 0.3f), 48, 48, "jpg", "", 0L)
+    val emb = ImageOps.computeEmbeddings(s.createDataset(imgs))
+      .map(e => (if (e.image_id.startsWith("simg")) e.image_id.drop(4).toLong else -1L,
+        e.embedding)).toDF("vec_id", "embedding")
+    val top = graft.ann.Ann.bruteForceTopK(emb, queryVecId = -1L, k = 3)
+      .as[(Long, Double)].collect()
+    // the probe re-encodes seed 7 = original 0's seed (0*15731 + 7)
+    assert(top.head._1 === 0L, s"probe must retrieve its original first: ${top.toSeq}")
+    assert(top.head._2 > 0.999, s"re-encode cosine too low: ${top.head._2}")
+    assert(top(1)._2 < top.head._2 - 0.001, "next hit must be clearly separated")
+    // determinism
+    val v1 = ImageOps.pooledLumaVec(ImageSynth.decode(imgs.head.bytes))
+    val v2 = ImageOps.pooledLumaVec(ImageSynth.decode(imgs.head.bytes))
+    assert(v1.toSeq === v2.toSeq)
+    assert(v1.length === 64)
+  }
+
   test("end-to-end: bytes -> computePhashes -> phashNearDups finds exactly the planted re-encodes") {
     implicit val s: SparkSession = spark
     import s.implicits._
