@@ -185,6 +185,47 @@ object Dedup {
     if (sh.isEmpty) 0L else sh.iterator.map(shingleHash).min
   }
 
+  /**
+   * EXACT n-gram Jaccard similarity self-join via a shingle inverted
+   * index — the exact counterpart of `minhashNearDups`: pairs exist only
+   * for documents SHARING a shingle (no all-pairs stage); the
+   * intersection size falls out of that join by counting and the union
+   * from |A| + |B| − |A∩B|. Shingles are SQL `substring` n-grams (same
+   * definition the q_d2 oracle proved equal across engines).
+   *
+   * Scale guard: `maxDf` caps each shingle's posting list (the self-join
+   * is quadratic in document frequency; a stop-shingle shared by half the
+   * corpus would square). The cap is part of the SEMANTICS — similarity
+   * is computed over the df-filtered shingle space, the classic stop-word
+   * removal — so a capped run is deterministic and oracle-able, and the
+   * drops are observable via `capObs`, never silent.
+   */
+  def jaccardJoin(docs: DataFrame, threshold: Double, n: Int = 3,
+                  maxDf: Int = 100000,
+                  capObs: Option[org.apache.spark.sql.Observation] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    val sh = docs
+      .where(length(col("text")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (n - 1))).as("i"), col("text"))
+      .select(col("doc_id"), expr(s"substring(text, i, $n)").as("sh"))
+      .distinct()
+    val capped = graft.spark.BucketCap.cap(sh, Seq("sh"), maxDf, capObs)
+    // sizes measured on the SAME (capped) shingle space the intersections
+    // count over — |A| and |A∩B| must live in one universe
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = capped.as("l").join(capped.as("r"),
+        col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Blocks of a 64-bit fingerprint split into `n` pieces (the last block
     * takes the remainder bits). Pure kernel for the multi-index join. */
   def phashBlocks(ph: Long, n: Int): Seq[(Int, Long)] = {

@@ -56,6 +56,16 @@ object TextQueries {
         .select(col("doc_id"), expr("substring(text, i, 3)").as("sh"))
         .groupBy(col("doc_id")).agg(countDistinct(col("sh")).as("n_shingles"))),
 
+    // EXACT Jaccard similarity join (inverted shingle index) — the exact
+    // counterpart of the MinHash approximation, on a fixed 500-doc slice
+    // so the bench cost is scale-independent (the operator itself scales
+    // via the maxDf posting-list cap)
+    "q_d6_jaccard_join" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.dedup.Dedup.jaccardJoin(
+        documents(s, d).where(col("doc_id") < 500), threshold = 0.7)
+    }),
+
     // quality score: avg chars per whitespace token (deterministic double)
     "q_t2b_chars_per_token" -> ((s, d) =>
       documents(s, d)
@@ -85,6 +95,20 @@ object TextQueries {
          FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS g
                FROM documents WHERE length(text) >= 3)
          GROUP BY doc_id""",
+    "q_d6_jaccard_join" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, substring(text, g, 3) AS s
+           FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS g
+                 FROM documents WHERE length(text) >= 3 AND doc_id < 500)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT a, b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = a
+         JOIN sizes sb ON sb.doc_id = b
+         WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7""",
     "q_t2b_chars_per_token" ->
       """SELECT doc_id, CAST(n_chars AS DOUBLE) / CAST(length(string_split(text, ' ')) AS DOUBLE)
                 AS chars_per_token FROM documents"""

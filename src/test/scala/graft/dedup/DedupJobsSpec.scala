@@ -81,6 +81,24 @@ class DedupJobsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall under cap $recall")
   }
 
+  test("jaccardJoin == exact all-pairs kernel jaccard (inverted index loses nothing)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val (docs, plantedPairs) = corpus
+    val got = Dedup.jaccardJoin(docs.toDF("doc_id", "text"), threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val sets = docs.map { case (id, t) => id -> Dedup.shingles(t) }.toMap
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = Dedup.jaccard(sa, sb) if j >= 0.7
+    } yield (a, b) -> j).toMap
+    assert(want.nonEmpty && plantedPairs.subsetOf(want.keySet))
+    assert(got.keySet === want.keySet,
+      s"missing=${(want.keySet -- got.keySet).take(3)} extra=${(got.keySet -- want.keySet).take(3)}")
+    got.foreach { case (k, j) => assert(math.abs(j - want(k)) < 1e-6, s"pair $k jaccard off") }
+  }
+
   test("phashNearDups == brute-force hamming pairs (recall exactly 1, not approximate)") {
     implicit val s: SparkSession = spark
     import s.implicits._
