@@ -43,6 +43,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("exact jaccard join: equi-join on the shingle index, never a cartesian product") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val docs = Seq((0L, "the quick brown fox"), (1L, "the quick brown fax"),
+      (2L, "zzz yyy xxx www")).toDF("doc_id", "text")
+    val plan = physical(graft.dedup.Dedup.jaccardJoin(docs, threshold = 0.7))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("phash near-dup join: equi-join on block keys, never a cartesian product") {
     implicit val s: SparkSession = spark
     import s.implicits._
