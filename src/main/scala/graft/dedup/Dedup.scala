@@ -200,17 +200,34 @@ object Dedup {
    * removal — so a capped run is deterministic and oracle-able, and the
    * drops are observable via `capObs`, never silent.
    */
-  def jaccardJoin(docs: DataFrame, threshold: Double, n: Int = 3,
-                  maxDf: Int = 100000,
-                  capObs: Option[org.apache.spark.sql.Observation] = None)(
-      implicit spark: SparkSession): DataFrame = {
-    val sh = docs
+  /** The distinct (doc_id, shingle) relation over SQL-substring n-grams —
+    * shared by `jaccardJoin` and the q_d2 catalog query so the shingle
+    * definition cannot drift between them. NOTE two deliberate contract
+    * points vs the Scala kernel `shingles`: (1) SQL `substring`/`length`
+    * count Unicode CODE POINTS, the kernel counts UTF-16 units — equal on
+    * BMP text (every test corpus), and the SQL semantics is the better one
+    * (never splits a surrogate pair); (2) documents with fewer than n
+    * characters produce NO rows — they have no shingles, and pairing
+    * empty-shingle docs (kernel jaccard(∅,∅) = 1.0) would join all of
+    * them pairwise at scale; route empty/short docs through exact dedup
+    * instead. */
+  def shingleRelation(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
       .where(length(col("text")) >= n)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (n - 1))).as("i"), col("text"))
       .select(col("doc_id"), expr(s"substring(text, i, $n)").as("sh"))
       .distinct()
-    val capped = graft.spark.BucketCap.cap(sh, Seq("sh"), maxDf, capObs)
+
+  def jaccardJoin(docs: DataFrame, threshold: Double, n: Int = 3,
+                  maxDf: Int = 100000,
+                  capObs: Option[org.apache.spark.sql.Observation] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    // persisted: referenced by sizes AND both self-join sides — without it
+    // one action re-runs the BucketCap join three times (the harness owns
+    // the session cache; same contract as minhashNearDups' prepared)
+    val capped = graft.spark.BucketCap.cap(shingleRelation(docs, n), Seq("sh"), maxDf, capObs)
+      .persist()
     // sizes measured on the SAME (capped) shingle space the intersections
     // count over — |A| and |A∩B| must live in one universe
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))

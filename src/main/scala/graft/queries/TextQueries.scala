@@ -49,12 +49,8 @@ object TextQueries {
 
     // character 3-gram shingle cardinality per doc (n-gram dedup primitive)
     "q_d2_shingles" -> ((s, d) =>
-      documents(s, d)
-        .where(length(col("text")) >= 3)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
-        .select(col("doc_id"), expr("substring(text, i, 3)").as("sh"))
-        .groupBy(col("doc_id")).agg(countDistinct(col("sh")).as("n_shingles"))),
+      graft.dedup.Dedup.shingleRelation(documents(s, d))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))),
 
     // EXACT Jaccard similarity join (inverted shingle index) — the exact
     // counterpart of the MinHash approximation, on a fixed 500-doc slice

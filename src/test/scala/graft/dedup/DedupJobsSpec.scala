@@ -85,9 +85,15 @@ class DedupJobsSpec extends AnyFunSuite {
     implicit val s: SparkSession = spark
     import s.implicits._
     val (docs, plantedPairs) = corpus
-    val got = Dedup.jaccardJoin(docs.toDF("doc_id", "text"), threshold = 0.7)
+    // contract: sub-n docs carry NO shingles and are excluded from pairing
+    // (kernel jaccard(∅,∅)=1.0 would pair every empty doc with every other
+    // — route those through exact dedup); the oracle below mirrors that
+    val withShort = docs ++ Seq((9000L, "ab"), (9001L, "x"), (9002L, null: String))
+    val got = Dedup.jaccardJoin(withShort.toDF("doc_id", "text"), threshold = 0.7)
       .as[(Long, Long, Double)].collect()
       .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(!got.keySet.exists { case (a, b) => a >= 9000L || b >= 9000L },
+      "shingle-less docs must not pair")
     val sets = docs.map { case (id, t) => id -> Dedup.shingles(t) }.toMap
     val want = (for {
       (a, sa) <- sets; (b, sb) <- sets if a < b
