@@ -300,6 +300,13 @@ class TileStore(root: String)(implicit spark: SparkSession) {
       val path = rootPath.resolve(name).resolve(s"v$next")
       // a retried batch may find a dangling v<next> from a crash — overwrite
       p.rows.write.mode("overwrite").partitionBy(p.partitionCols: _*).parquet(path.toString)
+      // enforce the Partial contract: every written leaf partition must be
+      // declared dirty, because every UNdeclared prev partition hardlinks
+      // forward below — a stray write would silently duplicate its rows
+      val strayDirs = leafPartitionDirs(path, p.partitionCols.length).toSet -- p.dirtyDirs
+      require(strayDirs.isEmpty,
+        s"partial write for '$name' emitted rows outside its declared dirty partitions " +
+          s"(would duplicate hardlink-carried data): ${strayDirs.take(5).mkString(", ")}")
       val (rows, partRows) = footerStats(path, partitioned = true)
       val writtenBytes = dirBytes(path)
       // carry clean partitions forward from the previous version as links

@@ -220,13 +220,15 @@ object Incremental {
           .select(col("z").cast("int").as("z"), col("gx"), col("gy"), col("users"), col("trips"))
       }
 
-    // kept rows per level: everything in the dirty buckets that is NOT a
+    // kept rows per level: everything in the DIRTY PARTITIONS that is NOT a
     // dirty tile survives unchanged but must be rewritten with its
-    // partition. Bounded mode scans each level pruned to its own dirty
-    // buckets (15 small scans); fused mode does ONE scan with a single
-    // (z, tx, ty) anti-join — per-level pruning is pointless when most
-    // buckets are dirty, and 15 separate broadcasts cost more than they
-    // save.
+    // partition (clean partitions are NOT written — commit hardlinks them
+    // forward, so writing their rows here would duplicate them in v<next>).
+    // Bounded mode scans each level pruned to its own dirty buckets (15
+    // small scans); fused mode does ONE scan statically pruned to the dirty
+    // (z, pb) directories with a single (z, tx, ty) anti-join — per-level
+    // broadcast pruning is pointless when most buckets are dirty, and 15
+    // separate broadcasts cost more than they save.
     val kept: DataFrame =
       if (dirtyFraction <= FusedCutover)
         (0 to 14).map { lv =>
@@ -238,11 +240,21 @@ object Incremental {
       else {
         val dirtyAll = (0 to 14).flatMap(lv =>
           dirtyByZ(lv).toSeq.map { case (tx, ty) => (lv, tx, ty) }).toDF("z", "tx", "ty")
-        store.read("global", Some(globalSchemaP))
-          .map(_.select("z", "gx", "gy", "users", "trips")).getOrElse(emptyGlobal)
-          .transform(withTiles)
-          .join(broadcast(dirtyAll), Seq("z", "tx", "ty"), "left_anti")
-          .drop("tx", "ty")
+        // (z, pb) are partition columns; an isin over their encoding prunes
+        // to the dirty directories at plan time — the scan AND the write
+        // stay O(dirty partitions) even in fused mode, and no clean-
+        // partition row is ever double-materialized (write + hardlink).
+        val dirtyDirCodes = (0 to 14).flatMap(lv =>
+          bucketsOf(dirtyByZ(lv)).map(b => lv * TileStore.Buckets + b))
+        store.read("global", Some(globalSchemaP)) match {
+          case None => emptyGlobal
+          case Some(g) =>
+            g.where((col("z") * TileStore.Buckets + col("pb")).isin(dirtyDirCodes: _*))
+              .select("z", "gx", "gy", "users", "trips")
+              .transform(withTiles)
+              .join(broadcast(dirtyAll), Seq("z", "tx", "ty"), "left_anti")
+              .drop("tx", "ty")
+        }
       }
     val newGlobalDirty = pbOf(
       Seq(kept, dirtyZ14, lowerRecomputed).reduce(_ unionByName _))

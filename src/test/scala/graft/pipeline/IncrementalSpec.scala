@@ -162,6 +162,50 @@ class IncrementalSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("fused batch AFTER a prior commit writes no duplicate rows (write ⊆ dirty partitions)") {
+    // Regression for the round-3 advisor finding: in fused mode the
+    // one-scan `kept` used to include rows of CLEAN partitions, which
+    // commit also hardlinks forward — every data-bearing clean (z, pb)
+    // partition ended up with both files, duplicating (z, gx, gy) rows.
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("tilestore-fused").toString
+    val store = new TileStore(d)
+    // two successive SPREAD batches (each dirties > FusedCutover of the 64
+    // buckets → both take the fused path; the second runs over prev > 0
+    // where the hardlink carry is live and their bucket sets don't fully
+    // overlap)
+    assert(!Incremental.processBatch(store, testTracks, -1L, 59L, k = 1).skipped)
+    assert(!Incremental.processBatch(store, testTracks, 59L, N - 1L, k = 1).skipped)
+    def fractionOf(batch: org.apache.spark.sql.Dataset[Track]): Double = {
+      val buckets = graft.raster.Rasterize.userPixels(batch)
+        .select((org.apache.spark.sql.functions.floor($"gx" / Incremental.Res)).as("tx"),
+          (org.apache.spark.sql.functions.floor($"gy" / Incremental.Res)).as("ty"))
+        .distinct().as[(Long, Long)].collect()
+        .map { case (tx, ty) => TileStore.bucketOf(tx, ty) }.distinct.length
+      buckets.toDouble / TileStore.Buckets
+    }
+    assert(fractionOf(testTracks.where($"contribution_id" > 59L)) > Incremental.FusedCutover,
+      "batch B did not take the fused path; the regression is untested")
+
+    // no duplicate keys anywhere in the committed relations
+    val g = store.read("global", Some(Incremental.globalSchema)).get
+      .select("z", "gx", "gy", "users", "trips")
+    assert(g.count() === g.select("z", "gx", "gy").distinct().count(),
+      "duplicate (z, gx, gy) rows in the committed global relation")
+    val up = store.read("user_pixels", Some(Incremental.userPixelsSchemaP)).get
+    assert(up.count() === up.select("user_id", "gx", "gy").distinct().count())
+
+    // and the store equals the one-shot pipeline as a MULTISET (row count
+    // equality catches duplicates that Map-based comparison collapses)
+    val got = g.collect()
+      .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4)))).toMap
+    val want = HeatmapPipeline.run(testTracks, k = 1).pyramid.collect()
+      .map(p => ((p.z, p.gx, p.gy), (p.users, p.trips))).toMap
+    assert(g.count() === want.size.toLong)
+    assert(got === want)
+  }
+
   test("crash BETWEEN commit record and HEAD move: batch re-runs, no silent loss") {
     implicit val s: SparkSession = spark
     val d2 = Files.createTempDirectory("tilestore-crashwin").toString
