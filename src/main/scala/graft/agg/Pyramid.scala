@@ -72,21 +72,34 @@ object Pyramid {
     * HeatmapPipelineSpec. */
   def localRollup(tkey: Long, cells: Array[graft.model.Schemas.Cell], k: Int,
                   minZoom: Int, maxZoom: Int = graft.raster.Rasterize.Zoom,
-                  resolution: Int = graft.raster.Rasterize.Resolution): Iterator[GlobalPixel] = {
+                  resolution: Int = graft.raster.Rasterize.Resolution): Iterator[GlobalPixel] =
+    localRollupArrays(tkey, cells.length, i => cells(i).pix, i => cells(i).users,
+      i => cells(i).trips, k, minZoom, maxZoom, resolution)
+
+  /** `localRollup` over indexed accessors (object cells OR flat primitive
+    * arrays — the flat form skips per-cell `Cell` allocation on the
+    * dump-backed read path). */
+  def localRollupArrays(tkey: Long, len: Int, pix: Int => Int,
+                        users: Int => Long, trips: Int => Long, k: Int,
+                        minZoom: Int, maxZoom: Int = graft.raster.Rasterize.Zoom,
+                        resolution: Int = graft.raster.Rasterize.Resolution): Iterator[GlobalPixel] = {
     val tx = tkey >>> 32
     val ty = tkey & 0xFFFFFFFFL
     // current level's entries, key = gx << 24 | gy (gx at z14 has ≤23 bits)
-    var curKey = new Array[Long](cells.length)
-    var curU = new Array[Long](cells.length)
-    var curT = new Array[Long](cells.length)
+    var curKey = new Array[Long](len)
+    var curU = new Array[Long](len)
+    var curT = new Array[Long](len)
     var n = 0
-    cells.foreach { c =>
-      if (c.users >= k) {
-        val gx = tx * resolution + c.pix / resolution
-        val gy = ty * resolution + c.pix % resolution
-        curKey(n) = (gx << 24) | gy; curU(n) = c.users; curT(n) = c.trips
+    var ci = 0
+    while (ci < len) {
+      val u = users(ci)
+      if (u >= k) {
+        val gx = tx * resolution + pix(ci) / resolution
+        val gy = ty * resolution + pix(ci) % resolution
+        curKey(n) = (gx << 24) | gy; curU(n) = u; curT(n) = trips(ci)
         n += 1
       }
+      ci += 1
     }
     val out = Iterator.newBuilder[GlobalPixel]
     var z = maxZoom - 1
@@ -120,10 +133,42 @@ object Pyramid {
   def lowerLevelsFromTiles(tc: Dataset[graft.model.Schemas.TileCells], k: Int,
                            minZoom: Int = 0,
                            resolution: Int = graft.raster.Rasterize.Resolution)(
+      implicit spark: SparkSession): Dataset[GlobalPixel] =
+    mergePartials(lowerPartials(tc, k, minZoom, resolution))
+
+  /** RAW tile-local pyramid partials (no sibling merge): feed these to
+    * `MvtJobs.encodeLowerFused` to get the lower-level export in ONE
+    * shuffle — the per-pixel merge happens inside the per-tile encode
+    * group instead of a separate exchange. */
+  def lowerPartials(tc: Dataset[graft.model.Schemas.TileCells], k: Int,
+                    minZoom: Int = 0,
+                    resolution: Int = graft.raster.Rasterize.Resolution)(
       implicit spark: SparkSession): Dataset[GlobalPixel] = {
     import spark.implicits._
     tc.flatMap(t => localRollup(t.tkey, t.cells, k, minZoom,
-        graft.raster.Rasterize.Zoom, resolution))
+      graft.raster.Rasterize.Zoom, resolution))
+  }
+
+  /** `lowerPartials` over the FLAT cell-array projection (tkey, cells.pix,
+    * cells.users, cells.trips): primitive-array decode, no per-cell
+    * objects — the dump-backed catalog path. */
+  def lowerPartialsFlat(flat: Dataset[(Long, Array[Int], Array[Long], Array[Long])], k: Int,
+                        minZoom: Int = 0,
+                        resolution: Int = graft.raster.Rasterize.Resolution)(
+      implicit spark: SparkSession): Dataset[GlobalPixel] = {
+    import spark.implicits._
+    flat.flatMap { case (tkey, pix, users, trips) =>
+      localRollupArrays(tkey, pix.length, pix(_), users(_), trips(_), k, minZoom,
+        graft.raster.Rasterize.Zoom, resolution)
+    }
+  }
+
+  /** Merge sibling-tile partials per pixel (the one groupBy of the
+    * tile-local pyramid plan). */
+  def mergePartials(partials: Dataset[GlobalPixel])(
+      implicit spark: SparkSession): Dataset[GlobalPixel] = {
+    import spark.implicits._
+    partials
       .groupBy($"z", $"gx", $"gy")
       .agg(sum($"users").as("users"), sum($"trips").as("trips"))
       .select($"z", $"gx", $"gy", $"users", $"trips")

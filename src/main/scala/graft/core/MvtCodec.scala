@@ -99,6 +99,105 @@ object MvtCodec {
     tile.toByteArray
   }
 
+  /** Bytes `VarInt.writeVarUInt` emits for `v`. */
+  def varUIntLen(v: Long): Int = {
+    var x = v; var n = 1
+    while ((x & ~0x7FL) != 0) { n += 1; x >>>= 7 }
+    n
+  }
+
+  /** Growable byte buffer for the streaming encoder — one allocation per
+    * tile instead of several per feature (the ByteArrayOutputStream form
+    * above allocates ~6 objects per feature; at 10^7 features per export
+    * that is pure GC pressure on the hot path). */
+  final class ByteBuf(initial: Int) {
+    private var buf = new Array[Byte](math.max(initial, 64))
+    private var n = 0
+    def length: Int = n
+    private def ensure(extra: Int): Unit =
+      if (n + extra > buf.length) {
+        var c = buf.length << 1
+        while (c < n + extra) c <<= 1
+        buf = java.util.Arrays.copyOf(buf, c)
+      }
+    def writeByte(b: Int): Unit = { ensure(1); buf(n) = b.toByte; n += 1 }
+    def writeVarUInt(v: Long): Unit = {
+      ensure(10)
+      var x = v
+      while ((x & ~0x7FL) != 0) { buf(n) = ((x & 0x7FL) | 0x80L).toByte; n += 1; x >>>= 7 }
+      buf(n) = x.toByte; n += 1
+    }
+    def writeBytes(b: Array[Byte], off: Int, len: Int): Unit = {
+      ensure(len); System.arraycopy(b, off, buf, n, len); n += len
+    }
+    def writeRaw(other: ByteBuf): Unit = writeBytes(other.buf, 0, other.n)
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, n)
+  }
+
+  /** Streaming form of `encodeTileExtent` over primitive arrays —
+    * BYTE-IDENTICAL output (MvtCodecSpec proves equality on random tiles),
+    * zero per-feature allocation. `n` features are read from the first `n`
+    * slots of the four arrays, in array order (callers pre-sort x-major). */
+  def encodeTilePoints(n: Int, ex: Array[Long], ey: Array[Long],
+                       users: Array[Long], trips: Array[Long],
+                       layerName: String = "heatmap"): Array[Byte] = {
+    // value table, deduped in first-seen order (unboxed mirror of the
+    // LinkedHashMap in encodeTileExtent)
+    val valueIds = new scala.collection.mutable.LongMap[Int](64)
+    val valueOrder = new scala.collection.mutable.ArrayBuffer[Long](64)
+    def valueId(v: Long): Int = {
+      val got = valueIds.getOrElse(v, -1)
+      if (got >= 0) got
+      else { val id = valueOrder.length; valueIds.update(v, id); valueOrder += v; id }
+    }
+    val feats = new ByteBuf(n * 14 + 64)
+    var i = 0
+    while (i < n) {
+      val uId = valueId(users(i)).toLong
+      val tId = valueId(trips(i)).toLong
+      val zx = VarInt.zigZag(ex(i))
+      val zy = VarInt.zigZag(ey(i))
+      val tagsLen = 2 + varUIntLen(uId) + varUIntLen(tId)
+      val geomLen = 1 + varUIntLen(zx) + varUIntLen(zy) // MoveTo cmd byte (9)
+      val fbLen = 1 + varUIntLen(tagsLen.toLong) + tagsLen + // field 2: tags
+        2 + // field 3: geomtype POINT
+        1 + varUIntLen(geomLen.toLong) + geomLen // field 4: geometry
+      feats.writeByte(0x12) // tag(2, len) — Layer.features
+      feats.writeVarUInt(fbLen.toLong)
+      feats.writeByte(0x12) // tag(2, len) — Feature.tags
+      feats.writeVarUInt(tagsLen.toLong)
+      feats.writeVarUInt(0L); feats.writeVarUInt(uId)
+      feats.writeVarUInt(1L); feats.writeVarUInt(tId)
+      feats.writeByte(0x18); feats.writeByte(0x01) // tag(3, varint) = POINT
+      feats.writeByte(0x22) // tag(4, len) — Feature.geometry
+      feats.writeVarUInt(geomLen.toLong)
+      feats.writeByte(9) // MoveTo, count = 1
+      feats.writeVarUInt(zx); feats.writeVarUInt(zy)
+      i += 1
+    }
+    val layer = new ByteBuf(feats.length + 128)
+    layer.writeVarUInt(tag(15, 0).toLong); layer.writeVarUInt(2L) // version
+    val nameB = layerName.getBytes("UTF-8")
+    layer.writeVarUInt(tag(1, 2).toLong); layer.writeVarUInt(nameB.length.toLong)
+    layer.writeBytes(nameB, 0, nameB.length)
+    layer.writeRaw(feats)
+    Seq("users", "trips").foreach { key =>
+      val kb = key.getBytes("UTF-8")
+      layer.writeVarUInt(tag(3, 2).toLong); layer.writeVarUInt(kb.length.toLong)
+      layer.writeBytes(kb, 0, kb.length)
+    }
+    valueOrder.foreach { v =>
+      layer.writeVarUInt(tag(4, 2).toLong)
+      layer.writeVarUInt((1 + varUIntLen(v)).toLong) // tag(5,0) byte + varint
+      layer.writeVarUInt(tag(5, 0).toLong); layer.writeVarUInt(v)
+    }
+    layer.writeVarUInt(tag(5, 0).toLong); layer.writeVarUInt(Extent.toLong)
+    val tile = new ByteBuf(layer.length + 8)
+    tile.writeVarUInt(tag(3, 2).toLong); tile.writeVarUInt(layer.length.toLong)
+    tile.writeRaw(layer)
+    tile.toArray
+  }
+
   /** G8 — the delta-encoded geometry cursor (`TileGeometryTransform.cs:52-66`
     * keeps currentX/currentY; the wire form is the MVT spec's
     * MoveTo(count=n) command with each point zigzag-encoded RELATIVE to the

@@ -67,7 +67,8 @@ object HeatmapPipeline {
       z14: Dataset[GlobalPixel],
       pyramid: Dataset[GlobalPixel],
       cached: Option[Dataset[TileCells]] = None,
-      k: Int = HeatmapAgg.KAnonymity) {
+      k: Int = HeatmapAgg.KAnonymity,
+      minZoom: Int = 0) {
     /** Release whatever run() persisted (cache-ownership contract: the
       * caller that triggered the pipeline owns the cached intermediate). */
     def release(): Unit = cached.foreach(_.unpersist())
@@ -105,7 +106,7 @@ object HeatmapPipeline {
     // user-grain relation exposed for callers that need it (A3 surface);
     // plan-only until acted on
     val up = HeatmapAgg.userGrain(Rasterize.userPixels(spread))
-    HeatmapResult(up, z14, pyr, cached = Some(tc), k = k)
+    HeatmapResult(up, z14, pyr, cached = Some(tc), k = k, minZoom = minZoom)
   }
 
   /** `run` with SIZE-TRIGGERED hot-tile striping: estimates the distinct
@@ -129,14 +130,14 @@ object HeatmapPipeline {
   /** MVT export of the full pyramid, shuffle-lean: z14 tiles encode NARROW
     * from the cached tile relation (their cells are already grouped and
     * sorted); only the lower levels (~25 % of rows) go through the tile
-    * exchange. Byte-equal to `mvt(pyramid)` (HeatmapPipelineSpec). */
+    * exchange — ONE exchange, with the sibling-partial merge fused into
+    * the encode group. Byte-equal to `mvt(pyramid)` (HeatmapPipelineSpec). */
   def mvtAll(result: HeatmapResult)(implicit spark: SparkSession): Dataset[MvtTile] = {
-    import spark.implicits._
     result.cached match {
       case Some(tc) =>
         MvtJobs.encodeZ14FromTileCells(tc, result.k)
-          .union(MvtJobs.encodeTiles(
-            result.pyramid.where($"z" < Rasterize.Zoom)))
+          .union(MvtJobs.encodeLowerFused(
+            Pyramid.lowerPartials(tc, result.k, result.minZoom)))
       case None => mvt(result.pyramid)
     }
   }

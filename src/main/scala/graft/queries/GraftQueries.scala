@@ -114,13 +114,29 @@ object GraftQueries {
     }
   }
 
-  private def cellsDump(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.model.Schemas.TileCells] = {
+  private def cellsDumpDf(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     import sp.implicits._
     sharedDump(s, CellsDumpPath, d) { path =>
       graft.agg.HeatmapAgg.tileCells(graft.raster.Rasterize.tileVisits(eventTracks(s, d)))
         .toDF().write.mode("overwrite").parquet(path)
-    }.as[graft.model.Schemas.TileCells]
+    }
+  }
+
+  private def cellsDump(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.model.Schemas.TileCells] = {
+    import s.implicits._
+    cellsDumpDf(s, d).as[graft.model.Schemas.TileCells]
+  }
+
+  /** The dump as FLAT primitive cell arrays (tkey, pix[], users[], trips[]):
+    * decodes without per-cell `Cell` objects — the allocation-light read
+    * the encode/rollup kernels consume directly. */
+  private def cellsDumpFlat(s: SparkSession, d: String): org.apache.spark.sql.Dataset[(Long, Array[Int], Array[Long], Array[Long])] = {
+    import s.implicits._
+    cellsDumpDf(s, d)
+      .select(col("tkey"), col("cells.pix").as("pix"),
+        col("cells.users").as("users"), col("cells.trips").as("trips"))
+      .as[(Long, Array[Int], Array[Long], Array[Long])]
   }
 
   /** Persisted IVF index over the sf dir's embeddings (index-once / query-
@@ -223,9 +239,10 @@ object GraftQueries {
     "q_hm_pyramid_stats" -> ((s, d) => {
       implicit val sp: SparkSession = s
       rasterDump(s, d)
-      val tc = cellsDump(s, d)
-      val pyr = graft.agg.HeatmapAgg.cellsToPixels(tc).toDF()
-        .unionByName(graft.agg.Pyramid.lowerLevelsFromTiles(tc, graft.agg.HeatmapAgg.KAnonymity).toDF())
+      val pyr = graft.agg.HeatmapAgg.cellsToPixels(cellsDump(s, d)).toDF()
+        .unionByName(graft.agg.Pyramid.mergePartials(
+          graft.agg.Pyramid.lowerPartialsFlat(cellsDumpFlat(s, d),
+            graft.agg.HeatmapAgg.KAnonymity)).toDF())
       pyr.groupBy(col("z"))
         .agg(count(lit(1)).as("pixels"), sum(col("users")).cast("long").as("users"),
           sum(col("trips")).cast("long").as("trips"))
@@ -236,12 +253,17 @@ object GraftQueries {
     // tile exchange. No persisted intermediate — the dump IS the shared
     // materialization (round-2 leaked one cached Dataset per invocation
     // and re-ran the full tile exchange; 77 s → ~2 s at sf0.1).
+    // z14 encodes NARROW from the flat cell arrays; the lower levels go
+    // through exactly ONE exchange (tile-grain groupByKey) with the
+    // sibling-partial merge fused into the encode group. Byte-identical to
+    // the two-exchange encodeTiles(lowerLevelsFromTiles(.)) form
+    // (HeatmapPipelineSpec).
     "q_hm_mvt_tiles" -> ((s, d) => {
       implicit val sp: SparkSession = s
-      val tc = cellsDump(s, d)
+      val tc = cellsDumpFlat(s, d)
       val k = graft.agg.HeatmapAgg.KAnonymity
-      graft.mvt.MvtJobs.encodeZ14FromTileCells(tc, k)
-        .union(graft.mvt.MvtJobs.encodeTiles(graft.agg.Pyramid.lowerLevelsFromTiles(tc, k)))
+      graft.mvt.MvtJobs.encodeZ14Flat(tc, k)
+        .union(graft.mvt.MvtJobs.encodeLowerFused(graft.agg.Pyramid.lowerPartialsFlat(tc, k)))
         .toDF()
         .select(col("z"), col("tx"), col("ty"), length(col("mvt")).as("mvt_bytes"))
     }),

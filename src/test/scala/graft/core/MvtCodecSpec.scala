@@ -32,6 +32,27 @@ class MvtCodecSpec extends AnyFunSuite {
     assert(s.contains("users") && s.contains("trips"))
   }
 
+  test("streaming encodeTilePoints is byte-identical to encodeTileExtent") {
+    val rnd = new java.util.Random(20260817L)
+    (0 until 40).foreach { trial =>
+      val n = 1 + rnd.nextInt(300)
+      val ex = new Array[Long](n); val ey = new Array[Long](n)
+      val us = new Array[Long](n); val tr = new Array[Long](n)
+      (0 until n).foreach { i =>
+        ex(i) = rnd.nextInt(4097).toLong
+        ey(i) = rnd.nextInt(4097).toLong
+        // values across varint width boundaries + deliberate duplicates
+        us(i) = Seq(1L, 7L, 127L, 128L, 300L, 16383L, 16384L,
+          rnd.nextInt(1 << 20).toLong)(rnd.nextInt(8))
+        tr(i) = Seq(1L, 2L, 255L, 999L, 1L << 33, rnd.nextInt(1 << 24).toLong)(rnd.nextInt(6))
+      }
+      val old = MvtCodec.encodeTileExtent(
+        (0 until n).map(i => MvtCodec.ExtentFeature(ex(i), ey(i), us(i), tr(i))))
+      val neo = MvtCodec.encodeTilePoints(n, ex, ey, us, tr)
+      assert(neo.toSeq === old.toSeq, s"trial $trial n=$n differs")
+    }
+  }
+
   test("byte-level golden fixture (hand-derived from the MVT v2.1 spec)") {
     // One Point feature at extent (80, 160) with users=5, trips=99. Every
     // byte below was derived BY HAND from the published protobuf wire format

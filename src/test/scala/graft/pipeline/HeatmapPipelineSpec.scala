@@ -118,6 +118,30 @@ class HeatmapPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("flat-array dump path (encodeZ14Flat + encodeLowerFused) is byte-equal to the object path") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val tc = result.cached.get
+    val dir = java.nio.file.Files.createTempDirectory("cells-flat").toString
+    tc.toDF().write.mode("overwrite").parquet(dir)
+    val flat = s.read.parquet(dir)
+      .select(col("tkey"), col("cells.pix").as("pix"),
+        col("cells.users").as("users"), col("cells.trips").as("trips"))
+      .as[(Long, Array[Int], Array[Long], Array[Long])]
+    val k = result.k
+    def bytesOf(ds: org.apache.spark.sql.Dataset[graft.model.Schemas.MvtTile]) =
+      ds.collect().map(t => ((t.z, t.tx, t.ty), t.mvt.toSeq)).toMap
+    val z14Obj = bytesOf(graft.mvt.MvtJobs.encodeZ14FromTileCells(tc, k))
+    val z14Flat = bytesOf(graft.mvt.MvtJobs.encodeZ14Flat(flat, k))
+    assert(z14Flat.nonEmpty && z14Flat === z14Obj)
+    val lowerTwoShuffle = bytesOf(graft.mvt.MvtJobs.encodeTiles(
+      graft.agg.Pyramid.lowerLevelsFromTiles(tc, k)))
+    val lowerFusedFlat = bytesOf(graft.mvt.MvtJobs.encodeLowerFused(
+      graft.agg.Pyramid.lowerPartialsFlat(flat, k)))
+    assert(lowerFusedFlat.nonEmpty && lowerFusedFlat === lowerTwoShuffle)
+  }
+
   test("MVT filesystem sink writes the reference's {z}/{x}/{y}.mvt layout") {
     implicit val s: SparkSession = spark
     val out = java.nio.file.Files.createTempDirectory("mvt-sink").toString

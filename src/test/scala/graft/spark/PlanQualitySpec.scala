@@ -102,7 +102,7 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(tkey"), plan)
   }
 
-  test("flagship export: z14 MVTs need ZERO exchanges over the cached tiles; full mvtAll needs two") {
+  test("flagship export: z14 MVTs need ZERO exchanges over the cached tiles; full mvtAll needs ONE") {
     implicit val s: SparkSession = spark
     import s.implicits._
     // count exchanges that would actually EXECUTE: stop at cache boundaries
@@ -122,8 +122,10 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(liveExchanges(z14Plan) === 0, z14Plan) // narrow over the cache
       val allPlan = graft.pipeline.HeatmapPipeline.mvtAll(result)
         .toDF().queryExecution.executedPlan
-      // one for the lower-level pyramid merge + one for the lower MVT grouping
-      assert(liveExchanges(allPlan) === 2, allPlan)
+      // exactly one: the lower-level tile grouping — the sibling-partial
+      // merge is fused into the encode group (MvtJobs.encodeLowerFused),
+      // so the separate pixel-grain pyramid-merge exchange is gone
+      assert(liveExchanges(allPlan) === 1, allPlan)
     } finally {
       result.release()
       s.conf.set("spark.sql.adaptive.enabled", "true")
