@@ -97,13 +97,18 @@ object ServiceMain {
     val head = store.currentVersion
     val since = store.exportedVersion
     if (head <= since) return
+    // dirty set resolved OUTSIDE the closure below: a dirty-tile-free
+    // commit window has nothing to re-encode but must STILL advance the
+    // EXPORTED marker (else every later export re-parses the same window),
+    // and a non-local `return` from inside foreach would skip exactly that
+    val dirtyTargets = if (since == 0) None else Some(withAncestors(store.dirtyTilesSince(since)))
+    if (!dirtyTargets.exists(_.isEmpty))
     store.read("global", Some(Incremental.globalSchemaP)).foreach { g =>
       val res = graft.raster.Rasterize.Resolution
       val subset =
         if (since == 0) g // first export: everything
         else {
-          val targets = withAncestors(store.dirtyTilesSince(since))
-          if (targets.isEmpty) return ()
+          val targets = dirtyTargets.get
           import spark.implicits._
           val targetDf = targets.toSeq.sorted.toDF("z", "tx", "ty")
           // partition pruning first (pb + z are hive partition columns),

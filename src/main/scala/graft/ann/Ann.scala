@@ -25,13 +25,18 @@ object Ann {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
-  /** All cosine similarities vs one stored query vector (exact, oracle-able). */
+  /** All cosine similarities vs one stored query vector (exact, oracle-able).
+    * The scan uses the codegen'd `cosine_sim` expression — one fused pass
+    * over the float array, bitwise-equal to `cosineCol`
+    * (CosineExpressionsSpec) — instead of three higher-order-function
+    * traversals. */
   def cosineToVec(emb: DataFrame, queryVecId: Long)(implicit spark: SparkSession): DataFrame = {
     val q = emb.where(col("vec_id") === queryVecId)
       .select(asDouble(col("embedding")).as("q_emb"))
     emb.where(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), cosineCol(asDouble(col("embedding")), col("q_emb")).as("sim"))
+      .select(col("vec_id"),
+        graft.functions.CosineFunctions.cosineSim(spark, col("embedding"), col("q_emb")).as("sim"))
   }
 
   /** Brute-force top-k by cosine (deterministic order: sim desc, vec_id). */
@@ -175,7 +180,8 @@ object Ann {
       .where(col("list_id").isin(probes.toSeq: _*) && col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(emb.where(col("vec_id") === queryVecId)
         .select(asDouble(col("embedding")).as("q_emb"))))
-      .select(col("vec_id"), cosineCol(asDouble(col("embedding")), col("q_emb")).as("sim"))
+      .select(col("vec_id"),
+        graft.functions.CosineFunctions.cosineSim(spark, col("embedding"), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -215,7 +221,8 @@ object Ann {
       .where(col("list_id").isin(probes.map(Integer.valueOf): _*))
     excludeId.fold(base)(id => base.where(col("vec_id") =!= id))
       .crossJoin(broadcast(qDf))
-      .select(col("vec_id"), cosineCol(asDouble(col("embedding")), col("q_emb")).as("sim"))
+      .select(col("vec_id"),
+        graft.functions.CosineFunctions.cosineSim(spark, col("embedding"), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }

@@ -142,7 +142,7 @@ object Dedup {
     val cand = capped.as("l").join(capped.as("r"),
         $"l.band" === $"r.band" && $"l.bucket" === $"r.bucket" && $"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("a"), $"r.doc_id".as("b")).distinct()
-    cand
+    val out = cand
       .join(shingleSets.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
       .join(shingleSets.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
       .as[(Long, Long, Array[Long], Array[Long])]
@@ -150,6 +150,13 @@ object Dedup {
       .toDF("a", "b", "jaccard")
       .where($"jaccard" >= threshold)
       .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"), $"jaccard")
+      // materialize the (small) pair set eagerly so the persisted prepared
+      // relation can be RELEASED before returning — the job owns its cache
+      // lifetime (blocks of the checkpointed result are ContextCleaner-
+      // managed, not a session-lifetime cacheManager entry)
+      .localCheckpoint(true)
+    prepared.unpersist()
+    out
   }
 
   /** MinHash signature from pre-hashed shingles. */
@@ -224,8 +231,9 @@ object Dedup {
                   capObs: Option[org.apache.spark.sql.Observation] = None)(
       implicit spark: SparkSession): DataFrame = {
     // persisted: referenced by sizes AND both self-join sides — without it
-    // one action re-runs the BucketCap join three times (the harness owns
-    // the session cache; same contract as minhashNearDups' prepared)
+    // one action re-runs the BucketCap join three times. Released below
+    // after the eager result materialization (same self-owning cache
+    // lifetime as minhashNearDups).
     val capped = graft.spark.BucketCap.cap(shingleRelation(docs, n), Seq("sh"), maxDf, capObs)
       .persist()
     // sizes measured on the SAME (capped) shingle space the intersections
@@ -235,12 +243,15 @@ object Dedup {
         col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
       .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true)
+    capped.unpersist()
+    out
   }
 
   /** Blocks of a 64-bit fingerprint split into `n` pieces (the last block

@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /**
- * Codegen'd cosine similarity: `cosine_sim(array<float> v, array<double> q)`.
+ * Codegen'd cosine similarity: `cosine_sim(v, q)` where `v` is
+ * array<float> OR array<double> and `q` is array<double>.
  *
  * The built-in form (`aggregate`/`zip_with`/`transform`, Ann.cosineCol) is
  * UDF-free but each higher-order function materializes an intermediate
@@ -31,20 +32,28 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) => TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckSuccess
       case (l, r) => TypeCheckFailure(
-        s"cosine_sim expects (array<float>, array<double>), got (${l.sql}, ${r.sql})")
+        s"cosine_sim expects (array<float|double>, array<double>), got (${l.sql}, ${r.sql})")
     }
+  }
+
+  private def leftIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val q = b.asInstanceOf[ArrayData]
-    CosineSim.kernel(v, q)
+    if (leftIsFloat) CosineSim.kernel(v, q) else CosineSim.kernelD(v, q)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = if (leftIsFloat) "kernel" else "kernelD"
     nullSafeCodeGen(ctx, ev, (vC, qC) =>
-      s"${ev.value} = graft.functions.CosineSim.kernel($vC, $qC);")
+      s"${ev.value} = graft.functions.CosineSim.$k($vC, $qC);")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -69,6 +78,21 @@ object CosineSim {
     }
     if (nv == 0 || nq == 0) -1.0 else dot / (math.sqrt(nv) * math.sqrt(nq))
   }
+
+  /** `kernel` for an array<double> vector (x read as double directly —
+    * bitwise-equal to `cosineCol` over the same doubles). */
+  def kernelD(v: ArrayData, q: ArrayData): Double = {
+    val n = math.min(v.numElements(), q.numElements())
+    var dot = 0.0; var nv = 0.0; var nq = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val y = q.getDouble(i)
+      dot += x * y; nv += x * x; nq += y * y
+      i += 1
+    }
+    if (nv == 0 || nq == 0) -1.0 else dot / (math.sqrt(nv) * math.sqrt(nq))
+  }
 }
 
 object CosineFunctions {
@@ -85,7 +109,7 @@ object CosineFunctions {
     }
   }
 
-  /** cosine_sim(vec: array<float>, query: array<double>) as a Column. */
+  /** cosine_sim(vec: array<float|double>, query: array<double>) as a Column. */
   def cosineSim(spark: SparkSession, vec: Column, query: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function(Name, vec, query)

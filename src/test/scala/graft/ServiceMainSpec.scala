@@ -136,6 +136,22 @@ class ServiceMainSpec extends AnyFunSuite {
     full.foreach { case (k, (bytes, _)) =>
       assert(java.util.Arrays.equals(after(k)._1, bytes), s"tile $k differs from full export")
     }
+
+    // a commit window with NO dirty tiles (empty batch) must still advance
+    // the EXPORTED marker — regression for the non-local-return bug where
+    // empty targets skipped markExported and every later export re-parsed
+    // the same window — while rewriting nothing
+    graft.pipeline.Incremental.processMicroBatch(store,
+      s.createDataset(Seq.empty[Track]), 7777L)
+    assert(store.currentVersion > store.exportedVersion)
+    ServiceMain.exportTiles(store, mvtDir)
+    assert(store.exportedVersion === store.currentVersion,
+      "EXPORTED did not advance past a dirty-tile-free commit")
+    val afterEmpty = mvtFiles(mvtDir)
+    assert(afterEmpty.keySet === after.keySet)
+    afterEmpty.foreach { case (k, (_, mtime)) =>
+      assert(mtime === after(k)._2, s"tile $k rewritten by an empty export")
+    }
   }
 
   test("full export with the balanced range shuffle writes the same tree as the plain path") {

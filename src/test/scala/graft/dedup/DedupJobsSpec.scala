@@ -105,6 +105,20 @@ class DedupJobsSpec extends AnyFunSuite {
     got.foreach { case (k, j) => assert(math.abs(j - want(k)) < 1e-6, s"pair $k jaccard off") }
   }
 
+  test("dedup jobs own their cache lifetime: no persisted relation survives the call") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    s.sharedState.cacheManager.clearCache()
+    val (docs, _) = corpus
+    val df = docs.toDF("doc_id", "text")
+    Dedup.minhashNearDups(df, threshold = 0.7).count()
+    assert(s.sharedState.cacheManager.isEmpty,
+      "minhashNearDups leaked a persisted relation")
+    Dedup.jaccardJoin(df, threshold = 0.7).count()
+    assert(s.sharedState.cacheManager.isEmpty,
+      "jaccardJoin leaked a persisted relation")
+  }
+
   test("phashNearDups == brute-force hamming pairs (recall exactly 1, not approximate)") {
     implicit val s: SparkSession = spark
     import s.implicits._

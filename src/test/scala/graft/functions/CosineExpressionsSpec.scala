@@ -46,6 +46,26 @@ class CosineExpressionsSpec extends AnyFunSuite {
     assert(nul.isNullAt(0))
   }
 
+  test("cosine_sim over array<double> vectors == cosineCol bitwise (simsearch path)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val rnd = new java.util.Random(11)
+    val data = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian())))
+    val df = data.toDF("vec_id", "embedding")
+    val q = data.head._2
+    val qCol = typedLit(q)
+    val native = df.select($"vec_id",
+        CosineFunctions.cosineSim(s, $"embedding", qCol).as("sim"))
+      .as[(Long, Double)].collect().toMap
+    val builtin = df.select($"vec_id", Ann.cosineCol($"embedding", qCol).as("sim"))
+      .as[(Long, Double)].collect().toMap
+    assert(native.size === 200)
+    native.foreach { case (id, sim) =>
+      assert(java.lang.Double.doubleToLongBits(sim) ===
+        java.lang.Double.doubleToLongBits(builtin(id)), s"vec $id differs")
+    }
+  }
+
   test("cosine_sim is a native codegen expression, not a UDF") {
     implicit val s: SparkSession = spark
     import s.implicits._
