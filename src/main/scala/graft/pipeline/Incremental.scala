@@ -57,6 +57,18 @@ object Incremental {
   private def pbOf(df: DataFrame): DataFrame =
     df.withColumn("pb", TileStore.bucketCol(tileOf(col("gx")), tileOf(col("gy"))))
 
+  /** F8 pre-check (Worker.cs:178-179): the (tx, ty) tiles of `dirtyRows`
+    * (user-pixel rows carrying tx/ty columns) whose EXACT distinct user
+    * count reaches k — only their rows are worth the pixel-grain rebuild;
+    * a sub-k tile's pixels all fail the k-anonymity HAVING regardless.
+    * Exact, not approximate: a tile with exactly k users must survive. */
+  def eligibleTiles(dirtyRows: DataFrame, k: Int): DataFrame =
+    dirtyRows
+      .groupBy("tx", "ty")
+      .agg(countDistinct(col("user_id")).as("tile_users"))
+      .where(col("tile_users") >= k)
+      .select("tx", "ty")
+
   /** Merge batch delta into persistent user pixels: full-outer sum with the
     * reference's u32 saturation. */
   def mergeUserPixels(existing: Option[DataFrame], delta: DataFrame): DataFrame = {
@@ -134,9 +146,21 @@ object Incremental {
     // from the merged (dirty-bucket) user pixels. Small (bounded by the
     // dirty subtree) — checkpoint eagerly so the level cascade below starts
     // from materialized rows, not a re-runnable plan.
-    val dirtyZ14 = merged
+    //
+    // F8 (Worker.cs:178-179): tile-level user PRE-CHECK first — a dirty
+    // tile whose distinct user count is below k cannot contribute any
+    // pixel (a pixel's user set ⊆ its tile's), so its rows skip the
+    // pixel-grain rebuild entirely; its absence from the rebuilt output IS
+    // its deletion, exactly like the unfiltered HAVING. The pre-check is
+    // the cheaper aggregation by construction: map-side partial dedup
+    // reduces the exchange to (tile, user) grain, ≪ pixel grain — and at
+    // trickle-ingest scale most touched tiles are sparse, so most rows
+    // never reach the expensive aggregate.
+    val dirtyRows = merged
       .transform(withTiles)
       .join(broadcast(tilesDf(dirtySet)), Seq("tx", "ty"), "left_semi")
+    val dirtyZ14 = dirtyRows
+      .join(broadcast(eligibleTiles(dirtyRows, k)), Seq("tx", "ty"), "left_semi")
       .groupBy("gx", "gy")
       .agg(countDistinct(col("user_id")).as("users"), sum("trips").as("trips"))
       .where(col("users") >= k)

@@ -157,6 +157,27 @@ object GraftQueries {
     IvfIndexPath
   }
 
+  /** Driver-side kernel recomputation of the doc-hash surfaces (simhash +
+    * winnowing fingerprint) for the CURRENT sf dir, shared-dump'd. The
+    * q_d4/q_d5 oracles compare the DISTRIBUTED Dataset.map against a
+    * LOCAL driver loop over the collected documents table (bounded:
+    * ≤5000 rows / ~1.5 MB at sf0.1) — the same independence level as the
+    * q_img_* VALUES oracles: identical kernel, different execution path.
+    * Catches distribution/serialization/partitioning drift; kernel
+    * correctness itself is DedupSpec's job. */
+  val DocHashDumpPath = "/tmp/graft_oracle/doc_hashes.parquet"
+  private def docHashDump(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    sharedDump(s, DocHashDumpPath, d) { path =>
+      val rows = graft.queries.Tables.documents(s, d).select("doc_id", "text")
+        .as[(Long, String)].collect().toSeq
+        .map { case (id, t) => (id, Dedup.simhash64(t), Dedup.fingerprint(t)) }
+      s.createDataset(rows).toDF("doc_id", "simhash", "fingerprint")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    ()
+  }
+
   private def imgRasterDump(s: SparkSession): DataFrame = {
     implicit val sp: SparkSession = s
     sharedDump(s, ImgRasterDumpPath, s"images:$ImgPipelineRows") { path =>
@@ -307,12 +328,14 @@ object GraftQueries {
 
     "q_d4_simhash" -> ((s, d) => {
       implicit val sp: SparkSession = s
+      docHashDump(s, d) // oracle side: driver-side kernel recomputation
       Dedup.simhashes(documents(s, d))
     }),
 
     "q_d5_fingerprints" -> ((s, d) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
+      docHashDump(s, d)
       documents(s, d).select("doc_id", "text").as[(Long, String)]
         .map { case (id, t) => (id, Dedup.fingerprint(t)) }
         .toDF("doc_id", "fingerprint")
@@ -540,6 +563,20 @@ object GraftQueries {
     }.mkString(", ")
 
   lazy val oracleSql: Map[String, String] = Map(
+    // doc-hash surfaces: the dump at DocHashDumpPath holds the DRIVER-side
+    // kernel recomputation (written by the query builders, marker-shared
+    // per sf dir); DuckDB derives the 16-bit blocks independently with its
+    // own bit arithmetic (arithmetic shift + mask == logical shift here)
+    "q_d4_simhash" ->
+      s"""SELECT doc_id, simhash,
+                 (simhash & 65535) AS b0,
+                 ((simhash >> 16) & 65535) AS b1,
+                 ((simhash >> 32) & 65535) AS b2,
+                 ((simhash >> 48) & 65535) AS b3
+          FROM read_parquet('$DocHashDumpPath/*.parquet')""",
+    "q_d5_fingerprints" ->
+      s"""SELECT doc_id, fingerprint
+          FROM read_parquet('$DocHashDumpPath/*.parquet')""",
     "q_geo_pip_join" ->
       """WITH pts AS (SELECT event_id AS pid,
                              3.0 + CAST(event_id % 2000 AS DOUBLE)/1000.0 AS lon,

@@ -229,6 +229,26 @@ class IncrementalSpec extends AnyFunSuite {
     assert(store.read("global", Some(Incremental.globalSchema)).get.count() > 0)
   }
 
+  test("F8 pre-check: sub-k tiles are excluded before the pixel-grain rebuild; k-boundary survives") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // tile A: 3 distinct users (== k, must survive); tile B: 2 users (< k,
+    // must be pre-filtered); tile C: 1 user
+    val rows = Seq(
+      (1L, 100L, 100L, 1L), (2L, 100L, 101L, 1L), (3L, 101L, 100L, 1L), // tile (0,0)
+      (1L, 600L, 600L, 1L), (2L, 601L, 601L, 1L), // tile (1,1)
+      (9L, 1100L, 1100L, 5L)) // tile (2,2)
+      .toDF("user_id", "gx", "gy", "trips")
+      .withColumn("tx", org.apache.spark.sql.functions.floor($"gx" / Incremental.Res))
+      .withColumn("ty", org.apache.spark.sql.functions.floor($"gy" / Incremental.Res))
+    val eligible = Incremental.eligibleTiles(rows, k = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(eligible === Set((0L, 0L)), s"pre-check returned $eligible")
+    // and the full-batch equality tests above exercise the wired-in path:
+    // the 6-user corpus at default k=3 has many sub-k tiles whose skipped
+    // rebuild must (and does) equal the one-shot pipeline
+  }
+
   test("crash before HEAD move leaves the store readable at the old version") {
     implicit val s: SparkSession = spark
     ran
