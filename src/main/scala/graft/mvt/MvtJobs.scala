@@ -75,8 +75,10 @@ object MvtJobs {
 
   /** Shared z14 tile-encode kernel: filter by k, place, stream-encode —
     * single pass, primitive buffers only. Cells arrive sorted by pix
-    * (x-major), which is the feature order the reference walks. */
-  private def encodeOneZ14(tkey: Long, n: Int, pix: Int => Int,
+    * (x-major), which is the feature order the reference walks.
+    * `private[graft]`: also driven as a driver-side loop by the
+    * q_hm_mvt_tiles oracle dump (same kernel, different execution path). */
+  private[graft] def encodeOneZ14(tkey: Long, n: Int, pix: Int => Int,
                            users: Int => Long, trips: Int => Long,
                            k: Int, res: Int, useMercator: Boolean): Iterator[MvtTile] = {
     val tx = tkey >>> 32
@@ -188,7 +190,7 @@ object MvtJobs {
   /** Encode one tile from position-keyed counters: sort x-major (pos =
     * px·res + py ascending — the reference's block-walk order,
     * HeatMapTile.cs:94-112), place, stream-encode. */
-  private def encodeOneTile(z: Int, tx: Long, ty: Long, n: Int,
+  private[graft] def encodeOneTile(z: Int, tx: Long, ty: Long, n: Int,
                             pos: Array[Long], us: Array[Long], tr: Array[Long],
                             res: Int, useMercator: Boolean): MvtTile = {
     // sort the three parallel arrays by pos: pack pos (≤ res² < 2^24 bits)

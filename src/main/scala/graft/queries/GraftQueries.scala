@@ -178,6 +178,122 @@ object GraftQueries {
     ()
   }
 
+  /** Driver-side recomputation of the q_d3 minhash near-dup pairs — the
+    * SAME kernels (shingles/minhash/lshBands/jaccardSorted) and the exact
+    * BucketCap semantics (every member of a > maxBucket bucket dropped
+    * from that band), but as a LOCAL loop over the collected documents
+    * table instead of the engine's join pipeline. The oracle therefore
+    * verifies the distributed candidate-generation plumbing end to end. */
+  val MinhashPairsDumpPath = "/tmp/graft_oracle/minhash_pairs.parquet"
+  private def minhashPairsDump(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    sharedDump(s, MinhashPairsDumpPath, d) { path =>
+      val threshold = 0.8; val numHashes = 64; val bands = 8; val maxBucket = 256
+      val docs = graft.queries.Tables.documents(s, d).select("doc_id", "text")
+        .as[(Long, String)].collect()
+      val prepared = docs.map { case (id, t) =>
+        val sh = Dedup.shingles(t).map(Dedup.shingleHash).toArray.sorted
+        (id, sh, Dedup.minhashFromHashes(sh, numHashes))
+      }
+      val shOf = prepared.map(p => p._1 -> p._2).toMap
+      val bucketRows = prepared.flatMap { case (id, _, sig) =>
+        Dedup.lshBands(sig, bands).zipWithIndex.map { case (h, b) => (id, b, h) }
+      }
+      val cand: Set[(Long, Long)] = bucketRows.groupBy(r => (r._2, r._3)).valuesIterator
+        .filter(_.length <= maxBucket) // BucketCap: over-full buckets drop ALL members
+        .flatMap { members =>
+          val ids = members.map(_._1).sorted
+          for (i <- ids.indices.iterator; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+        }.toSet
+      val pairs = cand.toSeq
+        .map { case (a, b) => (a, b, Dedup.jaccardSorted(shOf(a), shOf(b))) }
+        .filter(_._3 >= threshold)
+      s.createDataset(pairs).toDF("a", "b", "jaccard")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    ()
+  }
+
+  /** Driver-side recomputation of the q_ann_lsh_neardups pairs: same
+    * lshBucket kernel, same BucketCap, and the EXACT cosineCol
+    * accumulation order (left-to-right dot and norms over the
+    * float→double arrays, smaller id as the left operand) so the doubles
+    * are bitwise identical to the engine's. */
+  val LshPairsDumpPath = "/tmp/graft_oracle/lsh_pairs.parquet"
+  private def lshPairsDump(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    sharedDump(s, LshPairsDumpPath, d) { path =>
+      val threshold = 0.2; val nPlanes = 8; val maxBucket = 256
+      val vecs = embeddings(s, d).select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect()
+      val vOf = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+      def cosine(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val pairs = vecs.map { case (id, v) => (id, Ann.lshBucket(v, nPlanes)) }
+        .groupBy(_._2).valuesIterator
+        .filter(_.length <= maxBucket)
+        .flatMap { members =>
+          val ids = members.map(_._1).sorted
+          for (i <- ids.indices.iterator; j <- (i + 1) until ids.length)
+            yield (ids(i), ids(j), cosine(vOf(ids(i)), vOf(ids(j))))
+        }
+        .filter(_._3 >= threshold).toSeq
+      s.createDataset(pairs).toDF("a", "b", "sim")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    ()
+  }
+
+  /** Driver-side recomputation of the full MVT blob tree for the CURRENT
+    * sf dir: the same encode kernels (`encodeOneZ14`, `localRollup`,
+    * `encodeOneTile`) run as a single-threaded loop over the collected
+    * tile relation. The q_hm_mvt_tiles oracle compares byte length AND an
+    * md5 over every blob — the distributed narrow-encode + fused
+    * one-shuffle export must reproduce the loop byte for byte. */
+  val MvtBlobDumpPath = "/tmp/graft_oracle/mvt_blobs.parquet"
+  private def mvtBlobDump(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    sharedDump(s, MvtBlobDumpPath, d) { path =>
+      val k = graft.agg.HeatmapAgg.KAnonymity
+      val res = graft.raster.Rasterize.Resolution
+      val tiles = cellsDump(s, d).collect() // bounded: the aggregated tile relation
+      val out = scala.collection.mutable.ArrayBuffer.empty[graft.model.Schemas.MvtTile]
+      tiles.foreach { t =>
+        out ++= graft.mvt.MvtJobs.encodeOneZ14(t.tkey, t.cells.length,
+          i => t.cells(i).pix, i => t.cells(i).users, i => t.cells(i).trips,
+          k, res, useMercator = true)
+      }
+      val acc = scala.collection.mutable.HashMap
+        .empty[(Int, Long, Long), (scala.collection.mutable.LongMap[Long], scala.collection.mutable.LongMap[Long])]
+      tiles.foreach { t =>
+        graft.agg.Pyramid.localRollup(t.tkey, t.cells, k, 0).foreach { p =>
+          val key = (p.z, p.gx / res, p.gy / res)
+          val (us, tr) = acc.getOrElseUpdate(key,
+            (scala.collection.mutable.LongMap.empty[Long], scala.collection.mutable.LongMap.empty[Long]))
+          val pos = (p.gx % res) * res + (p.gy % res)
+          us.update(pos, us.getOrElse(pos, 0L) + p.users)
+          tr.update(pos, tr.getOrElse(pos, 0L) + p.trips)
+        }
+      }
+      acc.foreach { case ((z, tx, ty), (us, tr)) =>
+        val n = us.size
+        val pos = new Array[Long](n); val u = new Array[Long](n); val t2 = new Array[Long](n)
+        var i = 0
+        us.foreach { case (p, uu) => pos(i) = p; u(i) = uu; t2(i) = tr(p); i += 1 }
+        out += graft.mvt.MvtJobs.encodeOneTile(z, tx, ty, n, pos, u, t2, res, useMercator = true)
+      }
+      s.createDataset(out.toSeq.map(t => (t.z, t.tx, t.ty, t.mvt)))
+        .toDF("z", "tx", "ty", "mvt")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    ()
+  }
+
   private def imgRasterDump(s: SparkSession): DataFrame = {
     implicit val sp: SparkSession = s
     sharedDump(s, ImgRasterDumpPath, s"images:$ImgPipelineRows") { path =>
@@ -281,12 +397,14 @@ object GraftQueries {
     // (HeatmapPipelineSpec).
     "q_hm_mvt_tiles" -> ((s, d) => {
       implicit val sp: SparkSession = s
+      mvtBlobDump(s, d) // oracle: driver-side same-kernel blob recomputation
       val tc = cellsDumpFlat(s, d)
       val k = graft.agg.HeatmapAgg.KAnonymity
       graft.mvt.MvtJobs.encodeZ14Flat(tc, k)
         .union(graft.mvt.MvtJobs.encodeLowerFused(graft.agg.Pyramid.lowerPartialsFlat(tc, k)))
         .toDF()
-        .select(col("z"), col("tx"), col("ty"), length(col("mvt")).as("mvt_bytes"))
+        .select(col("z"), col("tx"), col("ty"), length(col("mvt")).as("mvt_bytes"),
+          md5(hex(col("mvt"))).as("mvt_md5"))
     }),
 
     // raster↔vector overlay, DuckDB-oracled: the heat side derives narrow
@@ -322,6 +440,7 @@ object GraftQueries {
     // ---- hash dedup (rows-only; kernels exactness-tested in ScalaTest) ----
     "q_d3_minhash_pairs" -> ((s, d) => {
       implicit val sp: SparkSession = s
+      minhashPairsDump(s, d) // oracle: driver-side same-kernel recomputation
       Dedup.minhashNearDups(documents(s, d), threshold = 0.8, bands = 8)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     }),
@@ -343,6 +462,7 @@ object GraftQueries {
 
     "q_ann_lsh_neardups" -> ((s, d) => {
       implicit val sp: SparkSession = s
+      lshPairsDump(s, d) // oracle: driver-side same-kernel recomputation
       Ann.lshNearDupPairs(embeddings(s, d), threshold = 0.2, nPlanes = 8)
         .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
     }),
@@ -577,6 +697,22 @@ object GraftQueries {
     "q_d5_fingerprints" ->
       s"""SELECT doc_id, fingerprint
           FROM read_parquet('$DocHashDumpPath/*.parquet')""",
+    // candidate-pair surfaces: the dumps hold DRIVER-side same-kernel
+    // recomputations (local loops mirroring BucketCap + the exact cosine/
+    // jaccard accumulation order); DuckDB applies its own rounding
+    "q_d3_minhash_pairs" ->
+      s"""SELECT a, b, ROUND(jaccard, 6) AS jaccard
+          FROM read_parquet('$MinhashPairsDumpPath/*.parquet')""",
+    "q_ann_lsh_neardups" ->
+      s"""SELECT a, b, ROUND(sim, 6) AS sim
+          FROM read_parquet('$LshPairsDumpPath/*.parquet')""",
+    // full blob verification: byte length AND md5 over every exported
+    // tile — the distributed narrow z14 encode + fused one-shuffle lower
+    // export must reproduce the driver-side loop byte for byte
+    "q_hm_mvt_tiles" ->
+      s"""SELECT z, tx, ty, CAST(octet_length(mvt) AS INTEGER) AS mvt_bytes,
+                 md5(hex(mvt)) AS mvt_md5
+          FROM read_parquet('$MvtBlobDumpPath/*.parquet')""",
     "q_geo_pip_join" ->
       """WITH pts AS (SELECT event_id AS pid,
                              3.0 + CAST(event_id % 2000 AS DOUBLE)/1000.0 AS lon,
