@@ -102,8 +102,9 @@ object Bench {
     // JIT); pass 2 measures the steady state a resident service would see.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a query that THROWS must be loud, not a fast fake timing: record
-      // per-query status, count errors into the summary line, and exit
-      // non-zero so the driver sees the failure
+      // per-query status ("error" in the queries map), a query_errors
+      // object, an errors count in both summary lines, and the anomaly
+      // field (exit stays 0 so the driver still collects the artifact)
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err =
@@ -173,6 +174,9 @@ object Bench {
       anomaly = Some(f"headline 2->8 efficiency ${effOf(2, 8)}%.3f outside (0, 1.05] after re-measure")
     else if (effOf(2, 8) < 0.65) // still implausibly low → say so, per the documented protocol
       anomaly = Some(f"headline 2->8 efficiency ${effOf(2, 8)}%.3f below 0.65 after re-measure")
+    if (queryErrors.nonEmpty)
+      anomaly = Some((anomaly.fold("")(_ + "; ")) +
+        s"${queryErrors.size} catalog queries threw (see query_errors); total covers the passing queries only")
     if (legs.length > 2 && best(cpus) > best(8)) {
       remeasure(cpus) // more cores must never be SLOWER than fewer
       if (best(cpus) > best(8))
@@ -198,10 +202,22 @@ object Bench {
     val qs = results.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "\"error\"" else r3(v).toString)
     }.mkString("{", ",", "}")
+    // JSON-escape AFTER truncating (a cut mid-escape would leave a dangling
+    // backslash) and cover control characters — Spark exception messages
+    // embed plan fragments full of newlines
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errsJson =
       if (queryErrors.isEmpty) ""
       else queryErrors.map { case (n, e) =>
-        "\"" + n + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"").take(200) + "\""
+        "\"" + n + "\":\"" + jesc(e.take(200)) + "\""
       }.mkString(""""query_errors":{""", ",", "},")
     val total = r3(results.collect { case (_, v, None) => v }.sum)
     val fullJson =

@@ -102,8 +102,8 @@ object ServiceMain {
     // EXPORTED marker (else every later export re-parses the same window),
     // and a non-local `return` from inside foreach would skip exactly that
     val dirtyTargets = if (since == 0) None else Some(withAncestors(store.dirtyTilesSince(since)))
-    if (!dirtyTargets.exists(_.isEmpty))
-    store.read("global", Some(Incremental.globalSchemaP)).foreach { g =>
+    if (!dirtyTargets.exists(_.isEmpty)) {
+      store.read("global", Some(Incremental.globalSchemaP)).foreach { g =>
       val res = graft.raster.Rasterize.Resolution
       val subset =
         if (since == 0) g // first export: everything
@@ -143,7 +143,9 @@ object ServiceMain {
         // dirty-tile export: the set is bounded by the batch, not the
         // world — the observe pass would cost more than it saves
         graft.mvt.MvtJobs.writeMvtFiles(tiles, mvtDir)
+      }
     }
+    // runs even for a dirty-tile-free window: the marker must advance
     writeTileJson(mvtDir)
     store.markExported(head)
   }

@@ -131,7 +131,7 @@ object GraftQueries {
   /** The dump as FLAT primitive cell arrays (tkey, pix[], users[], trips[]):
     * decodes without per-cell `Cell` objects — the allocation-light read
     * the encode/rollup kernels consume directly. */
-  private def cellsDumpFlat(s: SparkSession, d: String): org.apache.spark.sql.Dataset[(Long, Array[Int], Array[Long], Array[Long])] = {
+  private[graft] def cellsDumpFlat(s: SparkSession, d: String): org.apache.spark.sql.Dataset[(Long, Array[Int], Array[Long], Array[Long])] = {
     import s.implicits._
     cellsDumpDf(s, d)
       .select(col("tkey"), col("cells.pix").as("pix"),

@@ -30,12 +30,9 @@ object MvtProbe {
 
     println(s"dump_read_partitions=${s.read.parquet(graft.queries.GraftQueries.CellsDumpPath).rdd.getNumPartitions}")
 
-    def flat = s.read.parquet(graft.queries.GraftQueries.CellsDumpPath)
-      .select(org.apache.spark.sql.functions.col("tkey"),
-        org.apache.spark.sql.functions.col("cells.pix").as("pix"),
-        org.apache.spark.sql.functions.col("cells.users").as("users"),
-        org.apache.spark.sql.functions.col("cells.trips").as("trips"))
-      .as[(Long, Array[Int], Array[Long], Array[Long])]
+    // the catalog's own flat projection — keeps the probe measuring the
+    // exact decode path q_hm_mvt_tiles runs
+    def flat = graft.queries.GraftQueries.cellsDumpFlat(s, d)
     time("flat_decode")(flat.map(t => t._2.length.toLong).reduce(_ + _))
     time("z14_flat_encode")(graft.mvt.MvtJobs.encodeZ14Flat(flat, k).count())
     time("lower_partials_flat")(graft.agg.Pyramid.lowerPartialsFlat(flat, k).count())
