@@ -151,16 +151,24 @@ object Incremental {
     // tile whose distinct user count is below k cannot contribute any
     // pixel (a pixel's user set ⊆ its tile's), so its rows skip the
     // pixel-grain rebuild entirely; its absence from the rebuilt output IS
-    // its deletion, exactly like the unfiltered HAVING. The pre-check is
-    // the cheaper aggregation by construction: map-side partial dedup
-    // reduces the exchange to (tile, user) grain, ≪ pixel grain — and at
-    // trickle-ingest scale most touched tiles are sparse, so most rows
-    // never reach the expensive aggregate.
+    // its deletion, exactly like the unfiltered HAVING. The pre-check
+    // exchanges at (tile, user) grain (map-side partial dedup), ≪ pixel
+    // grain — a win exactly in the TRICKLE regime, where most touched
+    // tiles are sparse and most rows never reach the expensive aggregate.
+    // In the backfill regime (most of the store dirty, tiles dense) the
+    // reference's per-tile in-memory check is free but a distributed
+    // pre-agg is a whole extra pass that filters almost nothing —
+    // measured +25 % batch latency at sf0.01 backfill — so it gates on
+    // the SAME dirty-fraction switch as the pyramid rebuild below.
+    val preCheckOn = dirtyB.size.toDouble / TileStore.Buckets <= FusedCutover && k > 1
     val dirtyRows = merged
       .transform(withTiles)
       .join(broadcast(tilesDf(dirtySet)), Seq("tx", "ty"), "left_semi")
-    val dirtyZ14 = dirtyRows
-      .join(broadcast(eligibleTiles(dirtyRows, k)), Seq("tx", "ty"), "left_semi")
+    val rebuildRows =
+      if (preCheckOn)
+        dirtyRows.join(broadcast(eligibleTiles(dirtyRows, k)), Seq("tx", "ty"), "left_semi")
+      else dirtyRows
+    val dirtyZ14 = rebuildRows
       .groupBy("gx", "gy")
       .agg(countDistinct(col("user_id")).as("users"), sum("trips").as("trips"))
       .where(col("users") >= k)

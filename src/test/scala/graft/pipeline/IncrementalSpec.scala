@@ -244,9 +244,28 @@ class IncrementalSpec extends AnyFunSuite {
     val eligible = Incremental.eligibleTiles(rows, k = 3)
       .as[(Long, Long)].collect().toSet
     assert(eligible === Set((0L, 0L)), s"pre-check returned $eligible")
-    // and the full-batch equality tests above exercise the wired-in path:
-    // the 6-user corpus at default k=3 has many sub-k tiles whose skipped
-    // rebuild must (and does) equal the one-shot pipeline
+
+    // end-to-end through the WIRED path: the pre-check gates on the
+    // trickle regime (dirty fraction ≤ cutover AND k > 1), so drive a
+    // confined batch at k=3 over a prior commit — one tile with 3 users
+    // (== k, must survive the pre-check), one with 1 (filtered) — and the
+    // committed store must still equal the one-shot pipeline
+    val d = Files.createTempDirectory("tilestore-f8").toString
+    val store = new TileStore(d)
+    assert(!Incremental.processBatch(store, testTracks, -1L, 79L).skipped) // k=3 default
+    def at(lon: Double, lat: Double) = Array(Array(lon, lat), Array(lon + 5e-4, lat + 4e-4))
+    val confined = s.createDataset(Seq(
+      Track(990L, 101L, at(4.4000, 51.0000)), Track(991L, 102L, at(4.4001, 51.0001)),
+      Track(992L, 103L, at(4.4002, 51.0002)), // 3 users, one z14 tile → eligible
+      Track(993L, 901L, at(4.6200, 51.2200)))) // 1 user elsewhere → pre-filtered
+    assert(!Incremental.processMicroBatch(store, confined, 990L).skipped)
+    val got = store.read("global", Some(Incremental.globalSchema)).get
+      .select("z", "gx", "gy", "users", "trips").collect()
+      .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4)))).toMap
+    val want = HeatmapPipeline.run(
+      testTracks.where($"contribution_id" <= 79L).unionByName(confined)).pyramid.collect()
+      .map(p => ((p.z, p.gx, p.gy), (p.users, p.trips))).toMap
+    assert(want.nonEmpty && got === want)
   }
 
   test("crash before HEAD move leaves the store readable at the old version") {
