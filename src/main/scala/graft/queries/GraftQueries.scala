@@ -254,7 +254,11 @@ object GraftQueries {
     * `encodeOneTile`) run as a single-threaded loop over the collected
     * tile relation. The q_hm_mvt_tiles oracle compares byte length AND an
     * md5 over every blob — the distributed narrow-encode + fused
-    * one-shuffle export must reproduce the loop byte for byte. */
+    * one-shuffle export must reproduce the loop byte for byte.
+    *
+    * TEST-HARNESS PATH ONLY (like every dump here): the collect is
+    * bounded by the bench scale factors; the engine's export paths
+    * (`MvtJobs`, `ServiceMain.exportTiles`) never collect. */
   val MvtBlobDumpPath = "/tmp/graft_oracle/mvt_blobs.parquet"
   private def mvtBlobDump(s: SparkSession, d: String): Unit = {
     import s.implicits._
