@@ -152,6 +152,23 @@ class IncrementalSpec extends AnyFunSuite {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("pb"), plan.take(2000))
 
+    // the fused kept scan's (z*Buckets + pb) isin predicate must ALSO land
+    // as directory pruning (it references only partition columns): the
+    // FileScan's partition count is the dirty-dir count, not the store's
+    val someDirs = Seq(14 * TileStore.Buckets + TileStore.bucketOf(0, 0))
+    val fusedScan = store.read("global", Some(Incremental.globalSchemaP)).get
+      .where(($"z" * TileStore.Buckets + $"pb").isin(someDirs.map(Integer.valueOf): _*))
+    val fusedExec = fusedScan.queryExecution.executedPlan
+    val scanNode = fusedExec.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in fused kept plan"))
+    assert(scanNode.partitionFilters.nonEmpty,
+      s"fused kept predicate did not become a partition filter: $fusedExec")
+    val allDirs = store.read("global", Some(Incremental.globalSchemaP)).get
+      .select("z", "pb").distinct().count()
+    assert(scanNode.selectedPartitions.partitionCount < allDirs,
+      s"fused kept scan read ${scanNode.selectedPartitions.partitionCount} of $allDirs partitions — not pruned")
+
     // and the spliced state still equals the one-shot pipeline over all input
     val got = store.read("global", Some(Incremental.globalSchema)).get
       .select("z", "gx", "gy", "users", "trips").collect()
