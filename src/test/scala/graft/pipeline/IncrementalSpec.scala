@@ -285,6 +285,41 @@ class IncrementalSpec extends AnyFunSuite {
     assert(want.nonEmpty && got === want)
   }
 
+  test("randomized batch sequences (trickle/fused/empty interleaved) always equal one-shot, duplicate-free") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // seeded scenario generator: random cut points produce batches of very
+    // different dirty fractions — confined trickle slices, spread fused
+    // slices, and empty windows — exercising BOTH pyramid paths, the F8
+    // gate, and the hardlink carry across arbitrary interleavings
+    val rnd = new java.util.Random(20260817L)
+    (0 until 3).foreach { scenario =>
+      val d = Files.createTempDirectory(s"tilestore-rand$scenario").toString
+      val store = new TileStore(d)
+      val cuts = (Seq(-1L, N - 1L) ++ Seq.fill(2 + rnd.nextInt(3))(rnd.nextInt(N).toLong))
+        .distinct.sorted
+      val windows = cuts.zip(cuts.tail) ++ Seq((N - 1L, N + 10L)) // last window is EMPTY
+      windows.foreach { case (from, to) =>
+        val r = Incremental.processBatch(store, testTracks, from, to)
+        assert(!r.skipped)
+      }
+      val g = store.read("global", Some(Incremental.globalSchema)).get
+        .select("z", "gx", "gy", "users", "trips")
+      assert(g.count() === g.select("z", "gx", "gy").distinct().count(),
+        s"scenario $scenario (cuts=$cuts): duplicate keys in global")
+      val got = g.collect()
+        .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4)))).toMap
+      val want = HeatmapPipeline.run(testTracks).pyramid.collect()
+        .map(p => ((p.z, p.gx, p.gy), (p.users, p.trips))).toMap
+      assert(g.count() === want.size.toLong, s"scenario $scenario (cuts=$cuts): row count")
+      assert(got === want, s"scenario $scenario (cuts=$cuts): values diverge")
+      // user_pixels must also stay duplicate-free across the carries
+      val up = store.read("user_pixels", Some(Incremental.userPixelsSchemaP)).get
+      assert(up.count() === up.select("user_id", "gx", "gy").distinct().count(),
+        s"scenario $scenario: duplicate user_pixels keys")
+    }
+  }
+
   test("crash before HEAD move leaves the store readable at the old version") {
     implicit val s: SparkSession = spark
     ran
