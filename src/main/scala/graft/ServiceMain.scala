@@ -72,6 +72,15 @@ object ServiceMain {
     }
 
     exportTiles(store, s"${cfg.outputPath}/mvt")
+
+    // optional version retention (spark.graft.keepVersions=N): after a
+    // successful export, unlink snapshot versions older than the retention
+    // window — at planetary scale the store grows per commit otherwise.
+    // Hardlink-safe (TileStore.gc); metadata/commit history untouched.
+    spark.conf.getOption("spark.graft.keepVersions").map(_.toInt).foreach { keep =>
+      val (dirs, bytes) = store.gc(keep)
+      System.err.println(s"[graft] gc: removed $dirs snapshot dirs, unlinked $bytes bytes (keep=$keep)")
+    }
   }
 
   /** Dirty z14 tiles + the full ancestor chain of each — the exporter's

@@ -184,6 +184,61 @@ class TileStore(root: String)(implicit spark: SparkSession) {
     }.toSet
   }
 
+  /** Version retention GC: delete snapshot directories older than
+    * `currentVersion - keepVersions + 1` across every relation. At
+    * planetary scale the versioned store otherwise grows without bound —
+    * every commit adds a v<N> tree (mostly hardlinks, but directory
+    * entries and the dirty partitions' files accumulate).
+    *
+    * Hardlink-safe by construction: carry-forward links share INODES, so
+    * unlinking an old version's names never touches data still referenced
+    * by a retained version — the filesystem frees a file only when its
+    * last name goes. Metadata (commits.jsonl, HEAD, EXPORTED) is never
+    * touched: batch idempotence and the incremental exporter need the full
+    * record history, which is lines of JSON, not data.
+    *
+    * Returns (directories removed, bytes unlinked). "Unlinked" counts the
+    * names removed; physical space is freed only for inodes whose last
+    * link died (exactly the dirty-partition files older versions owned
+    * exclusively). Crash-safe: deleting is idempotent and readers only
+    * resolve HEAD, which is always ≥ the retention floor. */
+  def gc(keepVersions: Int = 2): (Int, Long) = {
+    require(keepVersions >= 1, s"must keep at least the HEAD version, got $keepVersions")
+    val floor = currentVersion - keepVersions + 1
+    if (floor <= 1) return (0, 0L)
+    var dirs = 0
+    var bytes = 0L
+    val rels = {
+      val s = Files.list(rootPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isDirectory(_)).toList
+      } finally s.close()
+    }
+    rels.foreach { rel =>
+      val vs = {
+        val s = Files.list(rel)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(Files.isDirectory(_))
+            .filter(_.getFileName.toString.matches("v\\d+"))
+            .filter(_.getFileName.toString.drop(1).toLong < floor).toList
+        } finally s.close()
+      }
+      vs.foreach { v =>
+        bytes += dirBytes(v)
+        val walk = Files.walk(v)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .iterator().asScala.foreach(Files.delete)
+        } finally walk.close()
+        dirs += 1
+      }
+    }
+    (dirs, bytes)
+  }
+
   private def dirBytes(path: Path): Long =
     if (!Files.exists(path)) 0L
     else {

@@ -285,6 +285,39 @@ class IncrementalSpec extends AnyFunSuite {
     assert(want.nonEmpty && got === want)
   }
 
+  test("version GC: old snapshots unlink, HEAD stays byte-identical, resume + next commit unaffected") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("tilestore-gc").toString
+    val store = new TileStore(d)
+    Incremental.runToLatest(store, testTracks, latestId = N - 1, maxContributions = 40)
+    assert(store.currentVersion === 3)
+    def content(): Map[(Int, Long, Long), (Long, Long)] =
+      store.read("global", Some(Incremental.globalSchema)).get
+        .select("z", "gx", "gy", "users", "trips").collect()
+        .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4)))).toMap
+    val before = content()
+
+    val (dirs, bytes) = store.gc(keepVersions = 1)
+    assert(dirs > 0 && bytes > 0L, s"gc removed nothing: dirs=$dirs bytes=$bytes")
+    // old version dirs are gone; HEAD's remain
+    assert(!Files.exists(java.nio.file.Paths.get(d, "global", "v1")))
+    assert(!Files.exists(java.nio.file.Paths.get(d, "global", "v2")))
+    assert(Files.exists(java.nio.file.Paths.get(d, "global", "v3")))
+    // hardlink safety: the retained version reads back identically
+    assert(content() === before)
+    // metadata history intact: committed windows still skip
+    assert(Incremental.processBatch(store, testTracks, -1L, 39L).skipped)
+    // and the NEXT commit (hardlink carry from the retained version) works
+    val confined = s.createDataset(Seq(graft.model.Schemas.Track(777L, 1L,
+      Array(Array(4.4000, 51.0000), Array(4.4005, 51.0004)))))
+    assert(!Incremental.processMicroBatch(store, confined, 777L).skipped)
+    assert(store.currentVersion === 4)
+    assert(store.read("global", Some(Incremental.globalSchema)).get.count() > 0)
+    // keepVersions floor is enforced
+    intercept[IllegalArgumentException](store.gc(keepVersions = 0))
+  }
+
   test("randomized batch sequences (trickle/fused/empty interleaved) always equal one-shot, duplicate-free") {
     implicit val s: SparkSession = spark
     import s.implicits._
