@@ -201,7 +201,10 @@ class TileStore(root: String)(implicit spark: SparkSession) {
     * names removed; physical space is freed only for inodes whose last
     * link died (exactly the dirty-partition files older versions owned
     * exclusively). Crash-safe: deleting is idempotent and readers only
-    * resolve HEAD, which is always ≥ the retention floor. */
+    * resolve HEAD, which is always ≥ the retention floor. Concurrent
+    * long-running readers pin the version they resolved at plan time —
+    * size `keepVersions` to cover the longest in-flight read window
+    * (the snapshot-isolation contract every versioned store has). */
   def gc(keepVersions: Int = 2): (Int, Long) = {
     require(keepVersions >= 1, s"must keep at least the HEAD version, got $keepVersions")
     val floor = currentVersion - keepVersions + 1
