@@ -61,9 +61,19 @@ class TileStore(root: String)(implicit spark: SparkSession) {
     * infer a schema from zero files). Hive partition columns (z, pb) are
     * appended from the directory names when partition dirs exist. */
   def read(name: String, schema: Option[StructType] = None): Option[DataFrame] =
-    if (currentVersion > 0 && hasSnapshot(name)) {
+    readAt(name, currentVersion, schema)
+
+  /** Time-travel read: the relation AS OF a committed version (snapshot
+    * isolation — every version directory is immutable once HEAD moved past
+    * it). Versions inside the `gc` retention window are always readable;
+    * an unlinked or never-committed version returns None. Dangling
+    * v<HEAD+1> dirs from a crashed commit are NOT readable (version must
+    * be ≤ HEAD — the record isn't authoritative until HEAD moves). */
+  def readAt(name: String, version: Long,
+             schema: Option[StructType] = None): Option[DataFrame] =
+    if (version > 0 && version <= currentVersion && hasSnapshot(name, version)) {
       val reader = schema.fold(spark.read)(sc => spark.read.schema(sc))
-      Some(reader.parquet(snapshotPath(name)))
+      Some(reader.parquet(snapshotPath(name, version)))
     } else None
 
   /** Read a snapshot pruned to a set of tile buckets (and optionally one

@@ -285,6 +285,35 @@ class IncrementalSpec extends AnyFunSuite {
     assert(want.nonEmpty && got === want)
   }
 
+  test("time travel: readAt(v) returns each committed version's exact state; dangling/future versions unreadable") {
+    implicit val s: SparkSession = spark
+    ran
+    val store = new TileStore(dir)
+    // version 1 state == one-shot over the first id-window only
+    val v1 = store.readAt("global", 1L, Some(Incremental.globalSchema)).get
+      .select("z", "gx", "gy", "users", "trips").collect()
+      .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4)))).toMap
+    import s.implicits._
+    val want1 = HeatmapPipeline.run(testTracks.where($"contribution_id" <= 39L)).pyramid.collect()
+      .map(p => ((p.z, p.gx, p.gy), (p.users, p.trips))).toMap
+    assert(v1 === want1) // (legitimately empty at k=3 over the first 40 tracks)
+    // an intermediate version differs from HEAD and equals ITS id-window
+    val v2 = store.readAt("global", 2L, Some(Incremental.globalSchema)).get
+      .select("z", "gx", "gy", "users", "trips").collect()
+      .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4)))).toMap
+    val want2 = HeatmapPipeline.run(testTracks.where($"contribution_id" <= 79L)).pyramid.collect()
+      .map(p => ((p.z, p.gx, p.gy), (p.users, p.trips))).toMap
+    assert(v2 === want2)
+    // HEAD read == readAt(currentVersion), and the final state is non-empty
+    val head = store.read("global", Some(Incremental.globalSchema)).get.count()
+    assert(head > 0 && head === store.readAt("global", store.currentVersion,
+      Some(Incremental.globalSchema)).get.count())
+    // beyond HEAD (incl. a dangling crash dir) and version 0: unreadable
+    Files.createDirectories(java.nio.file.Paths.get(dir, "global", s"v${store.currentVersion + 1}"))
+    assert(store.readAt("global", store.currentVersion + 1, Some(Incremental.globalSchema)).isEmpty)
+    assert(store.readAt("global", 0L, Some(Incremental.globalSchema)).isEmpty)
+  }
+
   test("version GC: old snapshots unlink, HEAD stays byte-identical, resume + next commit unaffected") {
     implicit val s: SparkSession = spark
     import s.implicits._
