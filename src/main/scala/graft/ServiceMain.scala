@@ -56,7 +56,8 @@ object ServiceMain {
 
     spark.conf.get("spark.graft.mode", "service") match {
       case "service" =>
-        StreamingHeatmap.runOnce(cfg.dataPath, store, s"${cfg.outputPath}/checkpoint")
+        StreamingHeatmap.runOnce(cfg.dataPath, store, s"${cfg.outputPath}/checkpoint",
+          k = cfg.userThreshold)
       case "batch" =>
         val tracks = spark.read.schema(StreamingHeatmap.trackSchema)
           .parquet(cfg.dataPath).as[Track]
@@ -66,7 +67,8 @@ object ServiceMain {
           // empty input (e.g. first deploy before any tracks land): clean no-op
           System.err.println(s"[graft] no tracks under ${cfg.dataPath}; nothing to do")
         } else {
-          Incremental.runToLatest(store, tracks, maxRow.getLong(0), cfg.maxContributions)
+          Incremental.runToLatest(store, tracks, maxRow.getLong(0), cfg.maxContributions,
+            k = cfg.userThreshold)
         }
       case other => throw new IllegalArgumentException(s"spark.graft.mode=$other")
     }
@@ -77,7 +79,7 @@ object ServiceMain {
     // successful export, unlink snapshot versions older than the retention
     // window — at planetary scale the store grows per commit otherwise.
     // Hardlink-safe (TileStore.gc); metadata/commit history untouched.
-    spark.conf.getOption("spark.graft.keepVersions").map(_.toInt).foreach { keep =>
+    cfg.keepVersions.foreach { keep =>
       val (dirs, bytes) = store.gc(keep)
       System.err.println(s"[graft] gc: removed $dirs snapshot dirs, unlinked $bytes bytes (keep=$keep)")
     }

@@ -239,12 +239,19 @@ class TileStore(root: String)(implicit spark: SparkSession) {
         } finally s.close()
       }
       vs.foreach { v =>
-        bytes += dirBytes(v)
+        // tombstone FIRST: _SUCCESS goes before any data file, so a crash
+        // mid-delete leaves a snapshot hasSnapshot/readAt already reject
+        // (serving a partially-deleted version as valid would be corrupt
+        // time travel); the next gc pass removes the remains
+        Files.deleteIfExists(v.resolve("_SUCCESS"))
         val walk = Files.walk(v)
         try {
           import scala.jdk.CollectionConverters._
           walk.sorted(java.util.Comparator.reverseOrder[Path]())
-            .iterator().asScala.foreach(Files.delete)
+            .iterator().asScala.foreach { p =>
+              if (Files.isRegularFile(p)) bytes += Files.size(p)
+              Files.delete(p)
+            }
         } finally walk.close()
         dirs += 1
       }

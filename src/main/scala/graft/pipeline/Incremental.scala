@@ -160,7 +160,8 @@ object Incremental {
     // pre-agg is a whole extra pass that filters almost nothing —
     // measured +25 % batch latency at sf0.01 backfill — so it gates on
     // the SAME dirty-fraction switch as the pyramid rebuild below.
-    val preCheckOn = dirtyB.size.toDouble / TileStore.Buckets <= FusedCutover && k > 1
+    val dirtyFraction = dirtyB.size.toDouble / TileStore.Buckets
+    val preCheckOn = dirtyFraction <= FusedCutover && k > 1
     val dirtyRows = merged
       .transform(withTiles)
       .join(broadcast(tilesDf(dirtySet)), Seq("tx", "ty"), "left_semi")
@@ -201,7 +202,6 @@ object Incremental {
     // associative), so the choice is invisible in the output — both paths
     // are exercised by IncrementalSpec (spread batches take the fused
     // path, the confined batch takes the bounded cascade).
-    val dirtyFraction = dirtyB.size.toDouble / TileStore.Buckets
     val lowerRecomputed: DataFrame =
       if (dirtyFraction <= FusedCutover) {
         val parts = Seq.newBuilder[DataFrame]
@@ -355,14 +355,15 @@ object Incremental {
   /** Drive all batches of `maxContributions` each from the store's cursor to
     * `latestId` (the reference's poll loop, run-once mode). */
   def runToLatest(store: TileStore, tracks: Dataset[Track], latestId: Long,
-                  maxContributions: Long = 10)(
+                  maxContributions: Long = 10,
+                  k: Int = HeatmapAgg.KAnonymity)(
       implicit spark: SparkSession): Seq[BatchResult] = {
     var from = store.lastCommittedId
     if (from < 0) from = -1
     val out = Seq.newBuilder[BatchResult]
     while (from < latestId) {
       val to = math.min(from + maxContributions, latestId)
-      out += processBatch(store, tracks, from, to)
+      out += processBatch(store, tracks, from, to, k)
       from = to
     }
     out.result()

@@ -20,7 +20,8 @@ final case class WorkerConfig(
     maxContributions: Long,
     refreshTimeMs: Long,
     dataPath: String,
-    outputPath: String)
+    outputPath: String,
+    keepVersions: Option[Int])
 
 object WorkerConfig {
   def fromSpark(spark: SparkSession): WorkerConfig = {
@@ -31,6 +32,14 @@ object WorkerConfig {
       maxContributions = c.get("spark.graft.maxContributions", "10").toLong,
       refreshTimeMs = c.get("spark.graft.refreshTime", "1000").toLong,
       dataPath = c.get("spark.graft.dataPath", "/tmp/graft-data"),
-      outputPath = c.get("spark.graft.outputPath", "/tmp/graft-tiles"))
+      outputPath = c.get("spark.graft.outputPath", "/tmp/graft-tiles"),
+      keepVersions = c.getOption("spark.graft.keepVersions").map { v =>
+        val n = try v.toInt catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"spark.graft.keepVersions must be an int >= 1, got '$v'")
+        }
+        require(n >= 1, s"spark.graft.keepVersions must be >= 1, got $n")
+        n
+      })
   }
 }

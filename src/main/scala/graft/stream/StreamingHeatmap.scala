@@ -28,7 +28,8 @@ object StreamingHeatmap {
    * each micro-batch to `store`. Run-once semantics via AvailableNow.
    */
   def start(sourceDir: String, store: TileStore, checkpointDir: String,
-            availableNow: Boolean = true, maxFilesPerTrigger: Int = 1)(
+            availableNow: Boolean = true, maxFilesPerTrigger: Int = 1,
+            k: Int = graft.agg.HeatmapAgg.KAnonymity)(
       implicit spark: SparkSession): StreamingQuery = {
     import spark.implicits._
     val source = spark.readStream
@@ -39,16 +40,17 @@ object StreamingHeatmap {
     val writer = source.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Track], batchId: Long) =>
-        Incremental.processMicroBatch(store, batch, batchId)
+        Incremental.processMicroBatch(store, batch, batchId, k)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
   /** Convenience: run to completion (run-once mode) and return the store. */
-  def runOnce(sourceDir: String, store: TileStore, checkpointDir: String)(
+  def runOnce(sourceDir: String, store: TileStore, checkpointDir: String,
+              k: Int = graft.agg.HeatmapAgg.KAnonymity)(
       implicit spark: SparkSession): Unit = {
-    val q = start(sourceDir, store, checkpointDir)
+    val q = start(sourceDir, store, checkpointDir, k = k)
     q.awaitTermination()
   }
 }

@@ -22,7 +22,7 @@ class ServiceMainSpec extends AnyFunSuite {
     }).write.mode("overwrite").parquet(dir)
   }
 
-  private def runMode(mode: String): (String, Long) = {
+  private def runMode(mode: String, userThreshold: Int = 3): (String, Long) = {
     implicit val s: SparkSession = spark
     val data = Files.createTempDirectory(s"svc-data-$mode").toString
     val out = Files.createTempDirectory(s"svc-out-$mode").toString
@@ -31,9 +31,36 @@ class ServiceMainSpec extends AnyFunSuite {
     s.conf.set("spark.graft.dataPath", data)
     s.conf.set("spark.graft.outputPath", out)
     s.conf.set("spark.graft.maxContributions", "60")
+    s.conf.set("spark.graft.userThreshold", userThreshold.toString)
     ServiceMain.run(s)
     val store = new graft.io.TileStore(s"$out/store")
     (out, store.currentVersion)
+  }
+
+  test("spark.graft.userThreshold actually reaches the pipeline in BOTH modes") {
+    implicit val s: SparkSession = spark
+    // k=1 keeps every pixel; k=6 (== the synthetic user cardinality) keeps
+    // only pixels every user crossed — the committed stores must differ,
+    // and each must equal the one-shot pipeline at ITS k
+    def globalOf(out: String) = {
+      val store = new graft.io.TileStore(s"$out/store")
+      store.read("global", Some(graft.pipeline.Incremental.globalSchema)).get
+        .select("z", "gx", "gy", "users", "trips").collect()
+        .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4)))).toMap
+    }
+    import s.implicits._
+    val oneShotTracks = s.createDataset((0L until N).map { i =>
+      val ph = ImageSynth.phashOf(i)
+      Track(i, TraceSynth.userOf(ph, 6), TraceSynth.trace(ph))
+    })
+    Seq(("batch", 1), ("service", 6)).foreach { case (mode, k) =>
+      val (out, _) = runMode(mode, userThreshold = k)
+      val got = globalOf(out)
+      val want = graft.pipeline.HeatmapPipeline.run(oneShotTracks, k = k).pyramid.collect()
+        .map(p => ((p.z, p.gx, p.gy), (p.users, p.trips))).toMap
+      assert(got === want, s"mode=$mode k=$k store != one-shot at that k")
+    }
+    s.conf.set("spark.graft.userThreshold", "3") // restore for later tests
   }
 
   test("batch and service modes commit state and export the mvt tree; results equal") {

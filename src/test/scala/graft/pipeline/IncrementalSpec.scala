@@ -308,9 +308,15 @@ class IncrementalSpec extends AnyFunSuite {
     val head = store.read("global", Some(Incremental.globalSchema)).get.count()
     assert(head > 0 && head === store.readAt("global", store.currentVersion,
       Some(Incremental.globalSchema)).get.count())
-    // beyond HEAD (incl. a dangling crash dir) and version 0: unreadable
-    Files.createDirectories(java.nio.file.Paths.get(dir, "global", s"v${store.currentVersion + 1}"))
-    assert(store.readAt("global", store.currentVersion + 1, Some(Incremental.globalSchema)).isEmpty)
+    // beyond HEAD and version 0: unreadable. The dangling dir carries
+    // _SUCCESS (a REAL crashed commit has one — the crash window is between
+    // the record append and the HEAD move, after the parquet write), so
+    // this exercises the version <= HEAD guard, not just hasSnapshot
+    val dangling = java.nio.file.Paths.get(dir, "global", s"v${store.currentVersion + 1}")
+    Files.createDirectories(dangling)
+    Files.write(dangling.resolve("_SUCCESS"), Array.emptyByteArray)
+    assert(store.readAt("global", store.currentVersion + 1, Some(Incremental.globalSchema)).isEmpty,
+      "a dangling crash version (record appended, HEAD never moved) must not be readable")
     assert(store.readAt("global", 0L, Some(Incremental.globalSchema)).isEmpty)
   }
 
@@ -345,6 +351,14 @@ class IncrementalSpec extends AnyFunSuite {
     assert(store.read("global", Some(Incremental.globalSchema)).get.count() > 0)
     // keepVersions floor is enforced
     intercept[IllegalArgumentException](store.gc(keepVersions = 0))
+
+    // crash-mid-gc guard: a half-deleted snapshot must be UNREADABLE, not
+    // served as partial data — gc tombstones _SUCCESS before any data file,
+    // so the worst crash state looks exactly like this
+    val v3 = java.nio.file.Paths.get(d, "global", "v3")
+    Files.deleteIfExists(v3.resolve("_SUCCESS"))
+    assert(store.readAt("global", 3L, Some(Incremental.globalSchema)).isEmpty,
+      "a snapshot without _SUCCESS (gc crash window) must read as None")
   }
 
   test("randomized batch sequences (trickle/fused/empty interleaved) always equal one-shot, duplicate-free") {
