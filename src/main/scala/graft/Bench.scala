@@ -79,6 +79,33 @@ object Bench {
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000.0
 
+  /** Per-query measurement pass: min-of-2, cache-cleared between runs.
+    * A query that THROWS must be loud, not a fast fake timing: its error
+    * message rides in the third slot and surfaces as status "error" in the
+    * queries map, a query_errors object, an errors count in both summary
+    * lines, and the anomaly field (exit stays 0 so the driver still
+    * collects the artifact). BenchSpec drives a deliberately-broken query
+    * through this path. */
+  def measureQueries(spark: SparkSession, sfDir: String,
+                     queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+      : Seq[(String, Double, Option[String])] =
+    queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // cache-ownership contract: a query may persist intermediates for
+        // its own lifetime; the harness owns the session and clears the
+        // cache between runs so nothing leaks into the next measurement.
+        spark.sharedState.cacheManager.clearCache()
+        (dt, err)
+      }
+      val (t1, e1) = once(); val (t2, e2) = once()
+      (name, math.min(t1, t2), e1.orElse(e2))
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -100,26 +127,7 @@ object Bench {
     // absorbs the one-time costs that made single-run totals swing ±35 %
     // between sessions (shared-dump materialization, parquet page cache,
     // JIT); pass 2 measures the steady state a resident service would see.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // a query that THROWS must be loud, not a fast fake timing: record
-      // per-query status ("error" in the queries map), a query_errors
-      // object, an errors count in both summary lines, and the anomaly
-      // field (exit stays 0 so the driver still collects the artifact)
-      def once(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val err =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // cache-ownership contract: a query may persist intermediates for
-        // its own lifetime; the harness owns the session and clears the
-        // cache between runs so nothing leaks into the next measurement.
-        spark.sharedState.cacheManager.clearCache()
-        (dt, err)
-      }
-      val (t1, e1) = once(); val (t2, e2) = once()
-      (name, math.min(t1, t2), e1.orElse(e2))
-    }
+    val results = measureQueries(spark, sfDir, SparkEntry.queries)
     val queryErrors = results.collect { case (name, _, Some(err)) => (name, err) }
     queryErrors.foreach { case (name, err) => System.err.println(s"[bench] QUERY ERROR $name: $err") }
     val nEvents = graft.queries.Tables.events(spark, sfDir).count()
