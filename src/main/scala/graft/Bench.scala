@@ -202,9 +202,12 @@ object Bench {
       s""""cpus_low":2,"cpus_high":8,"sec_low":${r3(secsLow)},"sec_high":${r3(secsMid)},""" +
       s""""tiles_per_sec_low":${r3(tpsLow)},"tiles_per_sec_high":${r3(tpsMid)},""" +
       s""""scaling_efficiency":${r3(efficiency)},""" +
-      s""""pair_8_to_$cpus":{"sec_low":${r3(secsMid)},"sec_high":${r3(secsHigh)},""" +
-      s""""tiles_per_sec_low":${r3(tpsMid)},"tiles_per_sec_high":${r3(tpsHigh)},""" +
-      s""""scaling_efficiency":${r3(efficiencyHigh)}},""" +
+      // the saturated upper pair only exists when a third leg ran
+      (if (cpus > 8)
+        s""""pair_8_to_$cpus":{"sec_low":${r3(secsMid)},"sec_high":${r3(secsHigh)},""" +
+        s""""tiles_per_sec_low":${r3(tpsMid)},"tiles_per_sec_high":${r3(tpsHigh)},""" +
+        s""""scaling_efficiency":${r3(efficiencyHigh)}},"""
+      else "") +
       anomaly.fold("")(a => s""""anomaly":"$a",""") +
       s""""note":"headline pair 2->8 cores (below this VM's ~16-thread memory-path saturation; see BENCH/BASELINE.md)"}"""
     val qs = results.map { case (k, v, err) =>
