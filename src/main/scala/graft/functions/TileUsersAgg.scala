@@ -116,7 +116,16 @@ final class TileBuffer {
     addPair(pix, user)
   }
 
+  /** Pre-size both tables for an expected entry count: one rehash up front
+    * instead of log₂(n) doubling rehashes on a known-size insert stream
+    * (deserialize knows its exact counts; merge knows an upper bound). */
+  def ensureCapacity(pix: Int, pairs: Int): Unit = {
+    while (pix * 2 > pixKeys.length) growPix()
+    while (pairs * 2 > pairPix.length) growPair()
+  }
+
   def mergeFrom(other: TileBuffer): Unit = {
+    ensureCapacity(nPix + other.nPix, nPair + other.nPair)
     var s = 0
     while (s < other.pixKeys.length) {
       if (other.pixKeys(s) != 0) addTrips(other.pixKeys(s) - 1, other.pixTrips(s))
@@ -184,6 +193,7 @@ object TileBuffer {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val buf = new TileBuffer()
     val np = bb.getInt; val nq = bb.getInt
+    buf.ensureCapacity(np, nq) // exact counts known — size once, no rehashes
     var i = 0
     while (i < np) { buf.addTrips(bb.getInt, bb.getLong); i += 1 }
     i = 0
