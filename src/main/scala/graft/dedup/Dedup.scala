@@ -302,4 +302,73 @@ object Dedup {
       .where($"dist" <= maxDist)
       .select($"a", $"b", $"dist")
   }
+
+  /**
+   * Connected components over an undirected pair relation — the dedup
+   * FINAL step: near-dup pairs only say "these two match"; a keep-list
+   * needs every document labeled with its cluster's canonical id (the
+   * minimum member id). `nodes` supplies the full id universe so
+   * singletons label themselves.
+   *
+   * Algorithm: min-label propagation with POINTER JUMPING — each round
+   * first takes the min label over graph neighbors (one edge join), then
+   * path-halves by following each label to ITS label (one self-join), so
+   * label chains collapse exponentially: O(log n) rounds even on a pure
+   * path graph, not O(diameter). Every round is two equi-joins + one
+   * aggregation, all key-partitioned — no driver-side graph state; the
+   * one driver value per round is the convergence count. Rounds are
+   * localCheckpoint-truncated (an iterative plan otherwise grows without
+   * bound). Non-convergence inside `maxRounds` fails loudly rather than
+   * returning a partial clustering.
+   *
+   * Input: pairs (a, b), nodes (id). Output: (id, cluster_id) with
+   * cluster_id = min id of the component.
+   */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame, maxRounds: Int = 25)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.select(col(pairs.columns(0)).as("u"), col(pairs.columns(1)).as("v"))
+      .union(pairs.select(col(pairs.columns(1)).as("u"), col(pairs.columns(0)).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col(nodes.columns(0)).as("n"))
+      .distinct()
+      .withColumn("lbl", col("n"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // 1. neighbor min: the smallest label adjacent to each node
+      val nbrMin = edges.join(labels, edges("v") === labels("n"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
+      val stepped = labels.join(nbrMin, labels("n") === nbrMin("u"), "left")
+        .select(col("n"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      // 2. pointer jump: follow each label to its own label (path halving)
+      val jumped = stepped.as("s")
+        .join(stepped.select(col("n").as("ln"), col("lbl").as("llbl")).as("t"),
+          col("s.lbl") === col("t.ln"), "left")
+        .select(col("s.n").as("n"),
+          least(col("s.lbl"), coalesce(col("t.llbl"), col("s.lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = jumped.as("a")
+        .join(labels.as("b"), col("a.n") === col("b.n"))
+        .where(col("a.lbl") =!= col("b.lbl")).count()
+      labels = jumped
+      converged = changed == 0
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    labels.select(col("n").as("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Near-dup clusters over the documents table: exact inverted-index
+    * Jaccard pairs (`jaccardJoin`) resolved to canonical cluster ids.
+    * Docs below the shingle length (excluded from pairing by contract)
+    * still appear as singletons — the output is a total keep-list. */
+  def dedupClusters(docs: DataFrame, threshold: Double, n: Int = 3,
+                    maxDf: Int = 100000)(
+      implicit spark: SparkSession): DataFrame =
+    connectedComponents(
+      jaccardJoin(docs, threshold, n, maxDf).select("a", "b"),
+      docs.select("doc_id"))
 }

@@ -62,6 +62,18 @@ object TextQueries {
         documents(s, d).where(col("doc_id") < 500), threshold = 0.7)
     }),
 
+    // near-dup CLUSTER resolution (the dedup final step): exact Jaccard
+    // pairs resolved to canonical cluster ids via connected components
+    // (min-label + pointer jumping); singletons keep themselves. DuckDB
+    // recomputes the clusters independently with a recursive reachability
+    // CTE over ITS OWN pair recomputation.
+    "q_d7_dedup_clusters" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.dedup.Dedup.dedupClusters(
+        documents(s, d).where(col("doc_id") < 500), threshold = 0.7)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
     // quality score: avg chars per whitespace token (deterministic double)
     "q_t2b_chars_per_token" -> ((s, d) =>
       documents(s, d)
@@ -107,6 +119,28 @@ object TextQueries {
          WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7""",
     "q_t2b_chars_per_token" ->
       """SELECT doc_id, CAST(n_chars AS DOUBLE) / CAST(length(string_split(text, ' ')) AS DOUBLE)
-                AS chars_per_token FROM documents"""
+                AS chars_per_token FROM documents""",
+    // independent cluster recomputation: the same exact-Jaccard pair SQL
+    // as q_d6, closed transitively with a recursive reachability CTE;
+    // cluster id = min reachable doc id, singletons label themselves
+    "q_d7_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+           SELECT DISTINCT doc_id, substring(text, g, 3) AS s
+           FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS g
+                 FROM documents WHERE length(text) >= 3 AND doc_id < 500)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT a, b FROM inter
+                   JOIN sizes sa ON sa.doc_id = a
+                   JOIN sizes sb ON sb.doc_id = b
+                   WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7),
+         edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         reach(u, m) AS (
+           SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+           UNION
+           SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u)
+         SELECT u AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1"""
   )
 }

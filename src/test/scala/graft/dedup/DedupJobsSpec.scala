@@ -105,6 +105,45 @@ class DedupJobsSpec extends AnyFunSuite {
     got.foreach { case (k, j) => assert(math.abs(j - want(k)) < 1e-6, s"pair $k jaccard off") }
   }
 
+  test("connectedComponents == union-find on random graphs (incl. a long path: pointer jumping works)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // in-test oracle: classic union-find with path compression
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val rnd = new java.util.Random(42)
+    val cases: Seq[(Int, Seq[(Long, Long)])] = Seq(
+      // sparse random graph with singletons
+      (200, Seq.fill(120)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+        .filter { case (a, b) => a != b }),
+      // one long PATH 0-1-2-...-99: diameter 99, must converge in O(log n)
+      (100, (0 until 99).map(i => (i.toLong, i.toLong + 1))),
+      // empty edge set: everything a singleton
+      (50, Seq.empty[(Long, Long)]))
+    cases.foreach { case (n, edges) =>
+      val pairs = if (edges.isEmpty)
+        Seq.empty[(Long, Long)].toDF("a", "b") else edges.toDF("a", "b")
+      val nodes = (0 until n).map(_.toLong).toDF("doc_id")
+      val got = Dedup.connectedComponents(pairs, nodes)
+        .as[(Long, Long)].collect().toMap
+      val want = unionFind(n, edges)
+      assert(got === want, s"n=$n edges=${edges.size}")
+    }
+    // non-convergence is loud: 1 round cannot finish the 100-node path
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(
+        (0 until 99).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b"),
+        (0 until 100).map(_.toLong).toDF("doc_id"), maxRounds = 1)
+    }
+  }
+
   test("dedup jobs own their cache lifetime: no persisted relation survives the call") {
     implicit val s: SparkSession = spark
     import s.implicits._
