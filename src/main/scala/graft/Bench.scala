@@ -79,32 +79,61 @@ object Bench {
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000.0
 
-  /** Per-query measurement pass: min-of-2, cache-cleared between runs.
-    * A query that THROWS must be loud, not a fast fake timing: its error
-    * message rides in the third slot and surfaces as status "error" in the
-    * queries map, a query_errors object, an errors count in both summary
-    * lines, and the anomaly field (exit stays 0 so the driver still
-    * collects the artifact). BenchSpec drives a deliberately-broken query
+  /** One measured sample: Right(seconds) or Left(error message). */
+  type Sample = Either[String, Double]
+
+  /** Per-query record: one sample per pass, in pass order. */
+  final case class QueryMeasure(name: String, samples: Seq[Sample]) {
+    /** Best successful timing (min — host noise only ever inflates). */
+    def secs: Option[Double] = {
+      val ok = samples.collect { case Right(t) => t }
+      if (ok.isEmpty) None else Some(ok.min)
+    }
+    /** Hard error: EVERY pass failed. A transient single-pass failure
+      * followed by a success is a PASS with the successful timing (a flaky
+      * first run must not permanently mark the query errored — advisor r4);
+      * the transient message is still recorded, never swallowed. */
+    def error: Option[String] =
+      if (samples.forall(_.isLeft)) samples.collectFirst { case Left(e) => e } else None
+    def transient: Option[String] =
+      if (samples.exists(_.isRight)) samples.collectFirst { case Left(e) => e } else None
+  }
+
+  /** Per-query measurement: `passes` INTERLEAVED passes over the whole
+    * sorted catalog (pass 1 over all queries, then pass 2 — NOT two
+    * back-to-back runs per query). Rationale: a sustained multi-minute host
+    * stall hits back-to-back samples of every query inside its window, and
+    * min() cannot reject it (the r4 driver record shows exactly such a
+    * contiguous alphabetical inflation block); with interleaving the stall
+    * lands in at most one pass of many queries and min() takes the clean
+    * pass — the same drift argument as the flagship leg rotation. Both
+    * samples are recorded (BENCH_LAST.json `query_samples`) so a post-hoc
+    * reader can SEE an inflation window. A query that THROWS in every pass
+    * is loud: status "error" in the queries map, a query_errors object, an
+    * errors count in both summary lines, and the anomaly field (exit stays
+    * 0 so the driver still collects the artifact). BenchSpec drives a
+    * broken query, a transient-failure query, and the interleaving order
     * through this path. */
   def measureQueries(spark: SparkSession, sfDir: String,
-                     queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
-      : Seq[(String, Double, Option[String])] =
-    queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val err =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // cache-ownership contract: a query may persist intermediates for
-        // its own lifetime; the harness owns the session and clears the
-        // cache between runs so nothing leaks into the next measurement.
-        spark.sharedState.cacheManager.clearCache()
-        (dt, err)
-      }
-      val (t1, e1) = once(); val (t2, e2) = once()
-      (name, math.min(t1, t2), e1.orElse(e2))
+                     queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+                     passes: Int = 2): Seq[QueryMeasure] = {
+    val named = queries.toSeq.sortBy(_._1)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // cache-ownership contract: a query may persist intermediates for
+      // its own lifetime; the harness owns the session and clears the
+      // cache between runs so nothing leaks into the next measurement.
+      spark.sharedState.cacheManager.clearCache()
+      err.toLeft(dt)
     }
+    val perPass: Seq[Seq[Sample]] =
+      (1 to passes).map(_ => named.map { case (_, fn) => once(fn) })
+    named.indices.map(i => QueryMeasure(named(i)._1, perPass.map(_(i))))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -122,14 +151,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Per-query estimator: min of 2 runs (same min statistic as the
-    // flagship legs — host noise only ever inflates a run). Pass 1 also
-    // absorbs the one-time costs that made single-run totals swing ±35 %
-    // between sessions (shared-dump materialization, parquet page cache,
-    // JIT); pass 2 measures the steady state a resident service would see.
+    // Per-query estimator: min over 2 INTERLEAVED catalog passes (same min
+    // statistic as the flagship legs — host noise only ever inflates a
+    // run; interleaving makes a sustained stall rejectable, see
+    // measureQueries). Pass 1 also absorbs the one-time costs that made
+    // single-run totals swing ±35 % between sessions (shared-dump
+    // materialization, parquet page cache, JIT); pass 2 measures the
+    // steady state a resident service would see.
     val results = measureQueries(spark, sfDir, SparkEntry.queries)
-    val queryErrors = results.collect { case (name, _, Some(err)) => (name, err) }
+    val queryErrors = results.collect { case m if m.error.isDefined => (m.name, m.error.get) }
     queryErrors.foreach { case (name, err) => System.err.println(s"[bench] QUERY ERROR $name: $err") }
+    results.foreach(m => m.transient.foreach(e =>
+      System.err.println(s"[bench] transient failure ${m.name} (passed on another run): $e")))
     val nEvents = graft.queries.Tables.events(spark, sfDir).count()
     spark.stop()
 
@@ -210,8 +243,14 @@ object Bench {
       else "") +
       anomaly.fold("")(a => s""""anomaly":"$a",""") +
       s""""note":"headline pair 2->8 cores (below this VM's ~16-thread memory-path saturation; see BENCH/BASELINE.md)"}"""
-    val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) "\"error\"" else r3(v).toString)
+    val qs = results.map { m =>
+      "\"" + m.name + "\":" + m.secs.fold("\"error\"")(v => r3(v).toString)
+    }.mkString("{", ",", "}")
+    // both raw samples per query, in pass order (null = that pass threw):
+    // lets a post-hoc reader SEE a stall window instead of inferring it
+    val qSamples = results.map { m =>
+      "\"" + m.name + "\":" +
+        m.samples.map(_.fold(_ => "null", v => r3(v).toString)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // JSON-escape AFTER truncating (a cut mid-escape would leave a dangling
     // backslash) and cover control characters — Spark exception messages
@@ -230,12 +269,13 @@ object Bench {
       else queryErrors.map { case (n, e) =>
         "\"" + n + "\":\"" + jesc(e.take(200)) + "\""
       }.mkString(""""query_errors":{""", ",", "},")
-    val total = r3(results.collect { case (_, v, None) => v }.sum)
+    val total = r3(results.flatMap(_.secs).sum)
+    val protocol = "min over 2 interleaved catalog passes, cache-cleared"
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","query_protocol":"min of 2, cache-cleared",""" +
-      s""""errors":${queryErrors.size},$errsJson"queries":$qs,"sf":"$sfDir","flagship":$flagshipJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","query_protocol":"$protocol",""" +
+      s""""errors":${queryErrors.size},$errsJson"queries":$qs,"query_samples":$qSamples,"sf":"$sfDir","flagship":$flagshipJson}"""
     val shortJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","query_protocol":"min of 2, cache-cleared","n_queries":${results.size},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","query_protocol":"$protocol","n_queries":${results.size},""" +
       s""""errors":${queryErrors.size},"queries_file":"BENCH_LAST.json","sf":"$sfDir","flagship":$flagshipJson}"""
 
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),

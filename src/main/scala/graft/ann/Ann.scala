@@ -93,7 +93,9 @@ object Ann {
     withVec.as("l").join(withVec.as("r"),
         $"l.bucket" === $"r.bucket" && $"l.vec_id" < $"r.vec_id")
       .select($"l.vec_id".as("a"), $"r.vec_id".as("b"),
-        cosineCol($"l.v", $"r.v").as("sim"))
+        // pair verify is the hot path at scale: the codegen'd fused loop,
+        // bitwise-equal to cosineCol (CosineExpressionsSpec)
+        graft.functions.CosineFunctions.cosineSim(spark, $"l.v", $"r.v").as("sim"))
       .where($"sim" >= threshold)
   }
 
@@ -233,7 +235,8 @@ object Ann {
     import spark.implicits._
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     v.as("l").join(v.as("r"), $"l.vec_id" < $"r.vec_id")
-      .select($"l.vec_id".as("a"), $"r.vec_id".as("b"), cosineCol($"l.v", $"r.v").as("sim"))
+      .select($"l.vec_id".as("a"), $"r.vec_id".as("b"),
+        graft.functions.CosineFunctions.cosineSim(spark, $"l.v", $"r.v").as("sim"))
       .where($"sim" >= threshold)
   }
 }

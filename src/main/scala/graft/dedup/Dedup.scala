@@ -120,7 +120,12 @@ object Dedup {
     * the same pair usually still collides in another, smaller band, and a
     * truly boilerplate group is better handled by exact dedup first. The
     * drop is not silent: pass an `Observation` to read (dropped_rows,
-    * dropped_buckets) after the first action (DedupSpec gates this). */
+    * dropped_buckets) after the first action (DedupSpec gates this).
+    *
+    * The returned frame is eagerly checkpointed (the job released its own
+    * working cache before returning); a resident session keeping MANY such
+    * results alive should release each with `releaseCheckpoint` when done —
+    * otherwise the blocks live until ContextCleaner GCs the reference. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.7,
                       numHashes: Int = 64, bands: Int = 16,
                       maxBucket: Int = 256,
@@ -206,6 +211,9 @@ object Dedup {
    * is computed over the df-filtered shingle space, the classic stop-word
    * removal — so a capped run is deterministic and oracle-able, and the
    * drops are observable via `capObs`, never silent.
+   *
+   * Returns an eagerly-checkpointed frame — same caller-release contract
+   * as `minhashNearDups` (see `releaseCheckpoint`).
    */
   /** The distinct (doc_id, shingle) relation over SQL-substring n-grams —
     * shared by `jaccardJoin` and the q_d2 catalog query so the shingle
@@ -253,6 +261,16 @@ object Dedup {
     capped.unpersist()
     out
   }
+
+  /** Release the storage blocks behind a `localCheckpoint(true)`-backed
+    * frame: the persisted RDD is the one embedded in the plan's LogicalRDD
+    * node (`df.rdd` would build a NEW derived RDD whose unpersist is a
+    * no-op on the checkpoint blocks). Safe on non-checkpointed frames
+    * (no LogicalRDD → nothing to release). */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Blocks of a 64-bit fingerprint split into `n` pieces (the last block
     * takes the remainder bits). Pure kernel for the multi-index join. */
@@ -323,6 +341,20 @@ object Dedup {
    *
    * Input: pairs (a, b), nodes (id). Output: (id, cluster_id) with
    * cluster_id = min id of the component.
+   *
+   * PRECONDITION (enforced): every id in `pairs` must appear in `nodes` —
+   * an orphan edge endpoint would get no label row yet still propagate
+   * labels one-way, yielding a plausible-looking but incomplete clustering;
+   * the method fails loudly instead (one cheap left-anti existence probe
+   * before the loop).
+   *
+   * Cache lifetime: intermediate per-round checkpoints are unpersisted as
+   * soon as the next round supersedes them; the RETURNED frame stays backed
+   * by the final round's checkpoint blocks. Callers that keep the result
+   * long-lived in a resident session should `.unpersist()` its `.rdd` when
+   * done (otherwise ContextCleaner reclaims it on GC of the reference) —
+   * the same contract as the checkpointed results of `minhashNearDups` /
+   * `jaccardJoin`.
    */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, maxRounds: Int = 25)(
       implicit spark: SparkSession): DataFrame = {
@@ -335,6 +367,11 @@ object Dedup {
       .distinct()
       .withColumn("lbl", col("n"))
       .localCheckpoint(true)
+    // precondition probe: edges (both directions) ⊆ nodes. isEmpty is
+    // limit-1 short-circuited; both sides are already checkpointed.
+    require(edges.join(labels, edges("u") === labels("n"), "left_anti").isEmpty,
+      "connectedComponents: pairs reference ids missing from nodes — " +
+        "the id universe must cover every edge endpoint")
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -353,10 +390,15 @@ object Dedup {
       val changed = jumped.as("a")
         .join(labels.as("b"), col("a.n") === col("b.n"))
         .where(col("a.lbl") =!= col("b.lbl")).count()
+      // release the superseded round's checkpoint blocks NOW — a long-lived
+      // session running many dedup jobs must not accumulate storage memory
+      // waiting for driver GC (blocks are otherwise ContextCleaner-owned)
+      releaseCheckpoint(labels)
       labels = jumped
       converged = changed == 0
       round += 1
     }
+    releaseCheckpoint(edges)
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     labels.select(col("n").as("id"), col("lbl").as("cluster_id"))
   }
@@ -371,4 +413,16 @@ object Dedup {
     connectedComponents(
       jaccardJoin(docs, threshold, n, maxDf).select("a", "b"),
       docs.select("doc_id"))
+
+  /** IMAGE-side canonical resolution — the keep-list step a training-corpus
+    * pipeline runs after near-dup pair detection: exact hamming pairs
+    * (`phashNearDups`, multi-index pigeonhole join) resolved to clusters;
+    * cluster_id = min image id of the component, singletons keep
+    * themselves. Output (id, cluster_id); the keep-list is the distinct
+    * cluster_id set, the drop-list everything with id != cluster_id. */
+  def phashClusters(imgs: DataFrame, maxDist: Int = 3, maxBucket: Int = 4096)(
+      implicit spark: SparkSession): DataFrame =
+    connectedComponents(
+      phashNearDups(imgs, maxDist, maxBucket).select("a", "b"),
+      imgs.select("id"))
 }

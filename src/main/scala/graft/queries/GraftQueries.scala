@@ -564,6 +564,18 @@ object GraftQueries {
       graft.dedup.Dedup.phashNearDups(hashes, maxDist = 6)
     }),
 
+    // IMAGE cluster keep-list (canonical-image resolution): the e2e corpus
+    // bytes → in-engine pHash → exact hamming pairs → connected components.
+    // DuckDB independently closes ITS OWN brute-force pair recomputation
+    // transitively with a recursive reachability CTE (the q_d7 scheme).
+    "q_img_dedup_clusters" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val hashes = graft.image.ImageOps.computePhashes(sp.createDataset(e2eCorpus))
+        .map(p => (e2eNumericId(p.image_id), p.phash)).toDF("id", "phash")
+      graft.dedup.Dedup.phashClusters(hashes, maxDist = 6)
+    }),
+
     "q_stream_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
@@ -637,7 +649,11 @@ object GraftQueries {
   val E2eOriginals = 96
   val E2eVariants = 32
 
-  private def e2eCorpus: Seq[graft.model.Schemas.ImageRow] = {
+  // lazy VAL, not def: the corpus is deterministic and the encode loop is
+  // single-threaded driver work — a def re-paid it inside every timed bench
+  // run (q_img_dedup_e2e was the most expensive catalog query in the r4
+  // driver record purely from re-encoding 128 images per invocation)
+  private lazy val e2eCorpus: Seq[graft.model.Schemas.ImageRow] = {
     def img(i: Long) = ImageSynth.renderTextured(i * 7919L + 101, 48, 48)
     val originals = (0L until E2eOriginals.toLong).map { i =>
       graft.model.Schemas.ImageRow(
@@ -664,7 +680,8 @@ object GraftQueries {
     * (vec_id −1): a harsh JPEG q=0.3 re-encode of original 0. */
   val SimsearchImages = 64
 
-  private def simsearchImages: Seq[graft.model.Schemas.ImageRow] = {
+  // lazy val for the same reason as e2eCorpus: encode once, not per run
+  private lazy val simsearchImages: Seq[graft.model.Schemas.ImageRow] = {
     def img(i: Long) = ImageSynth.renderTextured(i * 15731L + 7, 48, 48)
     val originals = (0L until SimsearchImages.toLong).map { i =>
       graft.model.Schemas.ImageRow(
@@ -847,6 +864,17 @@ object GraftQueries {
                  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
           FROM imgs a JOIN imgs b ON a.id < b.id
           WHERE bit_count(xor(a.ph, b.ph)) <= 6""",
+    "q_img_dedup_clusters" ->
+      s"""WITH RECURSIVE imgs(id, ph) AS (VALUES $e2ePhashValues),
+          pairs AS (SELECT a.id AS a, b.id AS b FROM imgs a JOIN imgs b
+                    ON a.id < b.id AND bit_count(xor(a.ph, b.ph)) <= 6),
+          edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+          reach(u, m) AS (
+            SELECT id, id FROM imgs
+            UNION
+            SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u)
+          SELECT CAST(u AS BIGINT) AS id, CAST(min(m) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY 1""",
     "q_img_simsearch" ->
       s"""WITH emb(vec_id, embedding) AS (VALUES $simsearchValues)
           SELECT CAST(vec_id AS BIGINT) AS vec_id,

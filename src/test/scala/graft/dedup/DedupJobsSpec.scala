@@ -201,4 +201,36 @@ class DedupJobsSpec extends AnyFunSuite {
     } yield (a, b, d.toLong)).toSet
     assert(got.filter(p => p._1 >= 1000L).toSet === tailExact)
   }
+
+  test("phashClusters == union-find over brute-force hamming pairs (image keep-list)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val n = 512
+    val phs = (0L until n.toLong).map(i => (i, graft.synth.ImageSynth.plantedPhash(i)))
+    val got = Dedup.phashClusters(phs.toDF("id", "phash"), maxDist = 3)
+      .as[(Long, Long)].collect().toMap
+    // oracle: union-find with path compression over exact all-pairs hamming
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    for { (a, pa) <- phs; (b, pb) <- phs if a < b && Dedup.hamming(pa, pb) <= 3 } {
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    assert(got === want)
+    // the corpus plants groups: the keep-list must be a strict subset
+    assert(got.values.toSet.size < n, "planted near-dup groups must merge")
+    assert(got.values.toSet.subsetOf(got.keySet), "cluster ids are member ids")
+  }
+
+  test("connectedComponents rejects orphan edge endpoints (pairs ⊄ nodes is loud)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val err = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(
+        Seq((1L, 2L), (2L, 99L)).toDF("a", "b"), // 99 missing from nodes
+        Seq(1L, 2L, 3L).toDF("id"))
+    }
+    assert(err.getMessage.contains("missing from nodes"))
+  }
 }
