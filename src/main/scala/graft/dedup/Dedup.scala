@@ -132,12 +132,7 @@ object Dedup {
                       capObs: Option[org.apache.spark.sql.Observation] = None)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val prepared: Dataset[(Long, Array[Long], Array[Long])] =
-      docs.select("doc_id", "text").as[(Long, String)].map { case (id, text) =>
-        val sh = shingles(text).map(shingleHash).toArray.sorted
-        val sig = minhashFromHashes(sh, numHashes)
-        (id, sh, sig)
-      }
+    val prepared = shingleSigs(docs, numHashes)
     prepared.persist()
     val buckets = prepared.flatMap { case (id, sh, sig) =>
       lshBands(sig, bands).zipWithIndex.map { case (h, b) => (id, b, h) }
@@ -162,6 +157,19 @@ object Dedup {
       .localCheckpoint(true)
     prepared.unpersist()
     out
+  }
+
+  /** Per-document (doc_id, sorted shingle hashes, minhash signature) — the
+    * narrow prep stage shared by `minhashNearDups` and the persisted LSH
+    * index (`LshIndex`), so the shingle/signature definition cannot drift
+    * between the batch and index paths. */
+  def shingleSigs(docs: DataFrame, numHashes: Int = 64)(
+      implicit spark: SparkSession): Dataset[(Long, Array[Long], Array[Long])] = {
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)].map { case (id, text) =>
+      val sh = shingles(text).map(shingleHash).toArray.sorted
+      (id, sh, minhashFromHashes(sh, numHashes))
+    }
   }
 
   /** MinHash signature from pre-hashed shingles. */

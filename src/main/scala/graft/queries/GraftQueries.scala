@@ -157,6 +157,28 @@ object GraftQueries {
     IvfIndexPath
   }
 
+  /** Persisted MinHash-LSH index over documents with doc_id < LshProbeSplit
+    * (the "already-indexed corpus"); q_d8 probes the remainder against it.
+    * Marker-shared like the IVF index: built once per sf dir. */
+  val LshIndexPath = "/tmp/graft_oracle/lsh_index"
+  val LshProbeSplit = 400L
+  private def lshIndexDir(s: SparkSession, d: String): String = {
+    implicit val sp: SparkSession = s
+    val marker = java.nio.file.Paths.get(LshIndexPath + ".source")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == d &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(LshIndexPath, "bands", "_SUCCESS"))
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      graft.dedup.LshIndex.build(
+        documents(s, d).where(col("doc_id") < LshProbeSplit),
+        LshIndexPath, numHashes = 64, bands = 8)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, d.getBytes("UTF-8"))
+    }
+    LshIndexPath
+  }
+
   /** Driver-side kernel recomputation of the doc-hash surfaces (simhash +
     * winnowing fingerprint) for the CURRENT sf dir, shared-dump'd. The
     * q_d4/q_d5 oracles compare the DISTRIBUTED Dataset.map against a
@@ -449,6 +471,23 @@ object GraftQueries {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // PERSISTED LSH index probe (index-once / probe-many — the IVF pattern
+    // applied to text dedup): documents >= LshProbeSplit probed against the
+    // on-disk banded index of documents < LshProbeSplit. Must equal the
+    // batch-mode q_d3 pairs RESTRICTED to pairs touching the probe batch —
+    // the oracle is the same whole-corpus driver-side recomputation dump,
+    // filtered. Partition pruning of the probe scan is plan-asserted in
+    // LshIndexSpec.
+    "q_d8_lsh_probe" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      minhashPairsDump(s, d) // oracle side: whole-corpus same-kernel dump
+      val dir = lshIndexDir(s, d)
+      graft.dedup.LshIndex.probe(dir,
+          documents(s, d).where(col("doc_id") >= LshProbeSplit),
+          threshold = 0.8, numHashes = 64, bands = 8, maxBucket = 256)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     "q_d4_simhash" -> ((s, d) => {
       implicit val sp: SparkSession = s
       docHashDump(s, d) // oracle side: driver-side kernel recomputation
@@ -724,6 +763,13 @@ object GraftQueries {
     "q_d3_minhash_pairs" ->
       s"""SELECT a, b, ROUND(jaccard, 6) AS jaccard
           FROM read_parquet('$MinhashPairsDumpPath/*.parquet')""",
+    // probe == batch restricted to pairs touching the probe batch: the
+    // SAME whole-corpus recomputation dump, filtered — so the compare
+    // verifies the index build + pruned probe reproduce batch semantics
+    "q_d8_lsh_probe" ->
+      s"""SELECT a, b, ROUND(jaccard, 6) AS jaccard
+          FROM read_parquet('$MinhashPairsDumpPath/*.parquet')
+          WHERE a >= $LshProbeSplit OR b >= $LshProbeSplit""",
     "q_ann_lsh_neardups" ->
       s"""SELECT a, b, ROUND(sim, 6) AS sim
           FROM read_parquet('$LshPairsDumpPath/*.parquet')""",
