@@ -79,9 +79,12 @@ object ServiceMain {
     // successful export, unlink snapshot versions older than the retention
     // window — at planetary scale the store grows per commit otherwise.
     // Hardlink-safe (TileStore.gc); metadata/commit history untouched.
+    // keepVersions must cover the longest in-flight read window (snapshot
+    // isolation — WorkerConfig scaladoc); gcMinAgeSeconds adds an age floor
     cfg.keepVersions.foreach { keep =>
-      val (dirs, bytes) = store.gc(keep)
-      System.err.println(s"[graft] gc: removed $dirs snapshot dirs, unlinked $bytes bytes (keep=$keep)")
+      val (dirs, bytes) = store.gc(keep, cfg.gcMinAgeSeconds)
+      System.err.println(s"[graft] gc: removed $dirs snapshot dirs, unlinked $bytes bytes " +
+        s"(keep=$keep, minAge=${cfg.gcMinAgeSeconds}s)")
     }
   }
 

@@ -214,11 +214,35 @@ class TileStore(root: String)(implicit spark: SparkSession) {
     * resolve HEAD, which is always ≥ the retention floor. Concurrent
     * long-running readers pin the version they resolved at plan time —
     * size `keepVersions` to cover the longest in-flight read window
-    * (the snapshot-isolation contract every versioned store has). */
-  def gc(keepVersions: Int = 2): (Int, Long) = {
+    * (the snapshot-isolation contract every versioned store has).
+    *
+    * `minAgeSeconds` is the belt-and-braces enforcement of that contract:
+    * a version is unlinked only if it left HEAD at least that long ago
+    * (timestamp of the SUCCEEDING commit record — a reader can only have
+    * resolved v while v was HEAD, so v+1's commit time bounds the start of
+    * any in-flight read of v). 0 disables the guard (run-once jobs where
+    * no concurrent reader exists). Records from before the ts_ms field
+    * default to deletable. */
+  def gc(keepVersions: Int = 2, minAgeSeconds: Long = 0): (Int, Long) = {
     require(keepVersions >= 1, s"must keep at least the HEAD version, got $keepVersions")
+    require(minAgeSeconds >= 0, s"minAgeSeconds must be >= 0, got $minAgeSeconds")
     val floor = currentVersion - keepVersions + 1
     if (floor <= 1) return (0, 0L)
+    val tsOf: Map[Long, Long] =
+      if (minAgeSeconds <= 0) Map.empty
+      else {
+        val V = """"version":\s*(\d+)""".r.unanchored
+        val T = """"ts_ms":\s*(\d+)""".r.unanchored
+        commitLines.flatMap { l =>
+          (l, l) match {
+            case (V(v), T(t)) => Some(v.toLong -> t.toLong)
+            case _ => None
+          }
+        }.toMap
+      }
+    def oldEnough(v: Long): Boolean = minAgeSeconds <= 0 ||
+      tsOf.get(v + 1).orElse(tsOf.get(v)).forall(t =>
+        System.currentTimeMillis - t >= minAgeSeconds * 1000L)
     var dirs = 0
     var bytes = 0L
     val rels = {
@@ -235,7 +259,10 @@ class TileStore(root: String)(implicit spark: SparkSession) {
           import scala.jdk.CollectionConverters._
           s.iterator().asScala.filter(Files.isDirectory(_))
             .filter(_.getFileName.toString.matches("v\\d+"))
-            .filter(_.getFileName.toString.drop(1).toLong < floor).toList
+            .filter { p =>
+              val v = p.getFileName.toString.drop(1).toLong
+              v < floor && oldEnough(v)
+            }.toList
         } finally s.close()
       }
       vs.foreach { v =>
@@ -408,7 +435,7 @@ class TileStore(root: String)(implicit spark: SparkSession) {
       ts.map { case (tx, ty) => s"[$tx, $ty]" }.mkString(""", "dirty_tiles": [""", ", ", "]")
     }
     val record =
-      s"""{"version": $next, "from_id": $batchFrom, "to_id": $batchTo$tilesJson, """ +
+      s"""{"version": $next, "ts_ms": ${System.currentTimeMillis}, "from_id": $batchFrom, "to_id": $batchTo$tilesJson, """ +
         s""""relations": {${(fullMetrics ++ partialMetrics).mkString(", ")}}}"""
     Files.write(commitsFile, (record + "\n").getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)

@@ -361,6 +361,72 @@ class IncrementalSpec extends AnyFunSuite {
       "a snapshot without _SUCCESS (gc crash window) must read as None")
   }
 
+  test("long-haul gc: disk high-water stays bounded at 2 live versions over many batches; min-age guard holds") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // physical bytes = unique inodes (hardlink-carried files count ONCE)
+    def physicalBytes(root: String): Long = {
+      val seen = scala.collection.mutable.Set.empty[Object]
+      val walk = Files.walk(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(Files.isRegularFile(_)).map { p =>
+          val attrs = Files.readAttributes(p,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          if (seen.add(attrs.fileKey)) attrs.size else 0L
+        }.sum
+      } finally walk.close()
+    }
+    def versionDirs(root: String): Seq[String] = {
+      val rels = new java.io.File(root).listFiles().filter(_.isDirectory)
+      rels.flatMap(r => Option(r.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(f => s"${r.getName}/${f.getName}")).toSeq
+    }
+    val gcDir = Files.createTempDirectory("tilestore-longhaul-gc").toString
+    val refDir = Files.createTempDirectory("tilestore-longhaul-ref").toString
+    val gcStore = new TileStore(gcDir)
+    val refStore = new TileStore(refDir)
+    val batches = (0 until 6).map(i => (i * 20L - 1L, i * 20L + 19L))
+    val highWater = scala.collection.mutable.ArrayBuffer.empty[Long]
+    batches.foreach { case (from, to) =>
+      assert(!Incremental.processBatch(gcStore, testTracks, from, to).skipped)
+      assert(!Incremental.processBatch(refStore, testTracks, from, to).skipped)
+      gcStore.gc(keepVersions = 2)
+      highWater += physicalBytes(gcDir)
+    }
+    assert(gcStore.currentVersion === 6 && refStore.currentVersion === 6)
+    // retention invariant: exactly the last 2 versions remain, per relation
+    versionDirs(gcDir).foreach(d =>
+      assert(d.endsWith("/v5") || d.endsWith("/v6"), s"stale snapshot survived gc: $d"))
+    // the no-gc twin keeps all 6 — physical bytes strictly above the gc'd
+    // store even with hardlink sharing (each version owns its dirty writes)
+    assert(versionDirs(refDir).size > versionDirs(gcDir).size)
+    val (gcBytes, refBytes) = (physicalBytes(gcDir), physicalBytes(refDir))
+    assert(gcBytes < refBytes,
+      s"gc store ($gcBytes B) not smaller than unbounded twin ($refBytes B)")
+    // high-water bound: never more than 2 live versions + metadata — the
+    // peak is within 2× the FINAL 2-version footprint (content only grows,
+    // so the last measurement is the largest legitimate resident set)
+    assert(highWater.max <= 2 * highWater.last,
+      s"disk high-water ${highWater.max} vs final ${highWater.last}: growth not bounded")
+    // hardlink-carried clean partitions survive gc: state == the twin's
+    def content(st: TileStore): Map[(Int, Long, Long), (Long, Long)] =
+      st.read("global", Some(Incremental.globalSchema)).get
+        .select("z", "gx", "gy", "users", "trips").collect()
+        .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4)))).toMap
+    assert(content(gcStore) === content(refStore))
+    assert(content(gcStore).nonEmpty)
+    // min-age guard: versions that JUST left HEAD are not unlinked even
+    // though keepVersions=1 would take them (snapshot-isolation age floor)
+    val (dirsAge, _) = refStore.gc(keepVersions = 1, minAgeSeconds = 3600)
+    assert(dirsAge === 0, s"min-age guard failed: unlinked $dirsAge fresh snapshot dirs")
+    assert(versionDirs(refDir).size > versionDirs(gcDir).size, "guarded gc must be a no-op")
+    // with the guard off the same call collects
+    val (dirsNoGuard, _) = refStore.gc(keepVersions = 1)
+    assert(dirsNoGuard > 0)
+  }
+
   test("randomized batch sequences (trickle/fused/empty interleaved) always equal one-shot, duplicate-free") {
     implicit val s: SparkSession = spark
     import s.implicits._
