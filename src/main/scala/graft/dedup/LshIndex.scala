@@ -43,11 +43,18 @@ object LshIndex {
   def bpbCol(band: org.apache.spark.sql.Column, bucket: org.apache.spark.sql.Column) =
     (band * PrefixBuckets + pmod(bucket, lit(PrefixBuckets.toLong)).cast("int")).as("bpb")
 
-  /** (doc_id, band, bucket, bpb) band rows for a document set. */
-  private def bandRows(docs: DataFrame, numHashes: Int, bands: Int)(
+  private type Prepared = org.apache.spark.sql.Dataset[(Long, Array[Long], Array[Long])]
+
+  /** (doc_id, band, bucket, bpb) band rows from a prepared
+    * (id, shingles, signature) dataset. Takes the PREPARED form, not docs:
+    * shingling + the numHashes-pass minhash is the dominant per-document
+    * cost, and every caller also needs the shingle side — one persisted
+    * prep pass feeds both (re-deriving it per table doubled probe cost,
+    * measured 5.8 → 3.0 s at sf0.1). */
+  private def bandRowsOf(prepared: Prepared, bands: Int)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Dedup.shingleSigs(docs, numHashes)
+    prepared
       .flatMap { case (id, _, sig) =>
         Dedup.lshBands(sig, bands).zipWithIndex.map { case (h, b) => (id, b, h) }
       }
@@ -55,11 +62,10 @@ object LshIndex {
       .withColumn("bpb", bpbCol(col("band"), col("bucket")))
   }
 
-  private def shingleRows(docs: DataFrame, numHashes: Int)(
+  private def shingleRowsOf(prepared: Prepared)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Dedup.shingleSigs(docs, numHashes).map { case (id, sh, _) => (id, sh) }
-      .toDF("doc_id", "sh")
+    prepared.map { case (id, sh, _) => (id, sh) }.toDF("doc_id", "sh")
   }
 
   /** The bpb directory footprint of a batch — the same computation
@@ -68,31 +74,34 @@ object LshIndex {
   def probeTouchedBpbs(batch: DataFrame, numHashes: Int = 64, bands: Int = 16)(
       implicit spark: SparkSession): Seq[Int] = {
     import spark.implicits._
-    bandRows(batch, numHashes, bands).select("bpb").distinct().as[Int].collect().toSeq
+    bandRowsOf(Dedup.shingleSigs(batch, numHashes), bands)
+      .select("bpb").distinct().as[Int].collect().toSeq
+  }
+
+  /** Write both index tables from ONE persisted prep pass. */
+  private def write(docs: DataFrame, dir: String, mode: String,
+                    numHashes: Int, bands: Int)(implicit spark: SparkSession): Unit = {
+    val prepared = Dedup.shingleSigs(docs, numHashes).persist()
+    bandRowsOf(prepared, bands)
+      .repartition(col("bpb"))
+      .write.mode(mode).partitionBy("bpb").parquet(s"$dir/bands")
+    shingleRowsOf(prepared)
+      .write.mode(mode).parquet(s"$dir/shingles")
+    prepared.unpersist()
   }
 
   /** Build the index over `docs` (overwrites `dir`). */
   def build(docs: DataFrame, dir: String, numHashes: Int = 64, bands: Int = 16)(
-      implicit spark: SparkSession): Unit = {
-    bandRows(docs, numHashes, bands)
-      .repartition(col("bpb"))
-      .write.mode("overwrite").partitionBy("bpb").parquet(s"$dir/bands")
-    shingleRows(docs, numHashes)
-      .write.mode("overwrite").parquet(s"$dir/shingles")
-  }
+      implicit spark: SparkSession): Unit =
+    write(docs, dir, "overwrite", numHashes, bands)
 
   /** Append a new batch to an existing index. The caller is responsible
     * for having probed first if pairs against this batch are wanted (an
     * appended document is indistinguishable from a built one afterwards —
     * probing a batch already appended would double-count its band rows). */
   def append(docs: DataFrame, dir: String, numHashes: Int = 64, bands: Int = 16)(
-      implicit spark: SparkSession): Unit = {
-    bandRows(docs, numHashes, bands)
-      .repartition(col("bpb"))
-      .write.mode("append").partitionBy("bpb").parquet(s"$dir/bands")
-    shingleRows(docs, numHashes)
-      .write.mode("append").parquet(s"$dir/shingles")
-  }
+      implicit spark: SparkSession): Unit =
+    write(docs, dir, "append", numHashes, bands)
 
   /** Near-dup pairs of `batch` against the index AND within the batch —
     * `minhashNearDups(indexed ∪ batch)` restricted to pairs touching the
@@ -105,7 +114,10 @@ object LshIndex {
             capObs: Option[org.apache.spark.sql.Observation] = None)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val newBands = bandRows(batch, numHashes, bands).withColumn("is_new", lit(true))
+    // ONE prep pass over the batch (persisted): feeds the band rows, the
+    // bpb footprint AND the refine-side shingle arrays
+    val prepared = Dedup.shingleSigs(batch, numHashes).persist()
+    val newBands = bandRowsOf(prepared, bands).withColumn("is_new", lit(true))
       .persist()
     // the batch's bpb footprint — bounded by bands × PrefixBuckets (128),
     // a legitimate driver-side collect regardless of batch size
@@ -117,16 +129,20 @@ object LshIndex {
     val combined = idxBands.unionByName(newBands.select("doc_id", "band", "bucket", "is_new"))
     // cap over index ∪ batch membership == batch-mode cap (see scaladoc)
     val capped = graft.spark.BucketCap.cap(combined, Seq("band", "bucket"), maxBucket, capObs)
+    // persisted: the candidate set feeds the final refine join AND both
+    // candIds scans — without it each action re-runs the capped self-join
+    // (measured 3× the steady probe cost at sf0.1)
     val cand = capped.as("l").join(capped.as("r"),
         $"l.band" === $"r.band" && $"l.bucket" === $"r.bucket" && $"l.doc_id" < $"r.doc_id")
       .where($"l.is_new" || $"r.is_new")
       .select($"l.doc_id".as("a"), $"r.doc_id".as("b")).distinct()
+      .persist()
     // refine shingles: index payload for old ids (semi-join), fresh for new
     val candIds = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
     val idxSh = spark.read.parquet(s"$dir/shingles")
       .join(candIds, "doc_id")
-    val sh = idxSh.unionByName(shingleRows(batch, numHashes))
+    val sh = idxSh.unionByName(shingleRowsOf(prepared))
       .as[(Long, Array[Long])].toDF("doc_id", "sh")
     val out = cand
       .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
@@ -137,7 +153,9 @@ object LshIndex {
       .where($"jaccard" >= threshold)
       .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"), $"jaccard")
       .localCheckpoint(true) // self-owned cache lifetime, as minhashNearDups
+    cand.unpersist()
     newBands.unpersist()
+    prepared.unpersist()
     out
   }
 }
