@@ -142,21 +142,34 @@ object Dedup {
     val cand = capped.as("l").join(capped.as("r"),
         $"l.band" === $"r.band" && $"l.bucket" === $"r.bucket" && $"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("a"), $"r.doc_id".as("b")).distinct()
-    val out = cand
-      .join(shingleSets.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
-      .join(shingleSets.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
+    // refineJaccard materializes eagerly, so the persisted prepared
+    // relation can be RELEASED before returning — the job owns its cache
+    // lifetime (blocks of the checkpointed result are ContextCleaner-
+    // managed, not a session-lifetime cacheManager entry)
+    val out = refineJaccard(cand, shingleSets, threshold)
+    prepared.unpersist()
+    out
+  }
+
+  /** Exact-Jaccard verify of candidate pairs (a, b) against a
+    * (doc_id, sh: sorted distinct hashes) relation — SHARED by
+    * `minhashNearDups` and `LshIndex.probe`, so the refine semantics
+    * cannot drift between the batch and index paths (the q_d8 oracle
+    * depends on their equality). Returns an EAGERLY CHECKPOINTED
+    * (a, b, jaccard) frame (see `releaseCheckpoint` for the caller
+    * contract). */
+  def refineJaccard(cand: DataFrame, shingles: DataFrame, threshold: Double)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    cand
+      .join(shingles.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
+      .join(shingles.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (b, a, sha, shb) => (a, b, jaccardSorted(sha, shb)) }
       .toDF("a", "b", "jaccard")
       .where($"jaccard" >= threshold)
       .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"), $"jaccard")
-      // materialize the (small) pair set eagerly so the persisted prepared
-      // relation can be RELEASED before returning — the job owns its cache
-      // lifetime (blocks of the checkpointed result are ContextCleaner-
-      // managed, not a session-lifetime cacheManager entry)
       .localCheckpoint(true)
-    prepared.unpersist()
-    out
   }
 
   /** Per-document (doc_id, sorted shingle hashes, minhash signature) — the
@@ -359,10 +372,12 @@ object Dedup {
    * Cache lifetime: intermediate per-round checkpoints are unpersisted as
    * soon as the next round supersedes them; the RETURNED frame stays backed
    * by the final round's checkpoint blocks. Callers that keep the result
-   * long-lived in a resident session should `.unpersist()` its `.rdd` when
-   * done (otherwise ContextCleaner reclaims it on GC of the reference) —
-   * the same contract as the checkpointed results of `minhashNearDups` /
-   * `jaccardJoin`.
+   * long-lived in a resident session should release it with
+   * `Dedup.releaseCheckpoint` when done (NOT `.rdd.unpersist()`, which
+   * builds a new derived RDD and is a no-op on the checkpoint blocks;
+   * absent a release, ContextCleaner reclaims them on GC of the
+   * reference) — the same contract as the checkpointed results of
+   * `minhashNearDups` / `jaccardJoin`.
    */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, maxRounds: Int = 25)(
       implicit spark: SparkSession): DataFrame = {
@@ -375,8 +390,11 @@ object Dedup {
       .distinct()
       .withColumn("lbl", col("n"))
       .localCheckpoint(true)
-    // precondition probe: edges (both directions) ⊆ nodes. isEmpty is
-    // limit-1 short-circuited; both sides are already checkpointed.
+    // precondition probe: edges (both directions) ⊆ nodes. One extra
+    // left-anti join action before round 1 (the expected-empty case scans
+    // the edge set once; limit-1 only short-circuits when orphans exist) —
+    // deliberate: a silent one-way labeling is worse than one narrow join
+    // over relations that are already checkpointed.
     require(edges.join(labels, edges("u") === labels("n"), "left_anti").isEmpty,
       "connectedComponents: pairs reference ids missing from nodes — " +
         "the id universe must cover every edge endpoint")

@@ -127,8 +127,20 @@ object LshIndex {
       .where(col("bpb").isin(touched.map(Integer.valueOf): _*))
       .select(col("doc_id"), col("band"), col("bucket"), lit(false).as("is_new"))
     val combined = idxBands.unionByName(newBands.select("doc_id", "band", "bucket", "is_new"))
+    // restrict to buckets the batch ACTUALLY members — the bpb directory
+    // prune is 128-way coarse, so without this the self-join below would
+    // still run over every index bucket in every touched directory (cost
+    // growing with index size / 128 per dir, not with the batch). The
+    // semi-join keeps every row of each touched bucket, so downstream cap
+    // decisions see full batch-mode membership; untouched buckets can't
+    // produce batch pairs and (deliberately) no longer count in capObs.
+    // broadcast: the batch's distinct key set is ≤ batch × bands rows and a
+    // probe batch is small by definition (the incremental arrival) — the
+    // semi-join must not shuffle the index side it exists to shrink
+    val newKeys = broadcast(newBands.select("band", "bucket").distinct())
+    val relevant = combined.join(newKeys, Seq("band", "bucket"), "left_semi")
     // cap over index ∪ batch membership == batch-mode cap (see scaladoc)
-    val capped = graft.spark.BucketCap.cap(combined, Seq("band", "bucket"), maxBucket, capObs)
+    val capped = graft.spark.BucketCap.cap(relevant, Seq("band", "bucket"), maxBucket, capObs)
     // persisted: the candidate set feeds the final refine join AND both
     // candIds scans — without it each action re-runs the capped self-join
     // (measured 3× the steady probe cost at sf0.1)
@@ -144,15 +156,7 @@ object LshIndex {
       .join(candIds, "doc_id")
     val sh = idxSh.unionByName(shingleRowsOf(prepared))
       .as[(Long, Array[Long])].toDF("doc_id", "sh")
-    val out = cand
-      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
-      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
-      .as[(Long, Long, Array[Long], Array[Long])]
-      .map { case (b, a, sha, shb) => (a, b, Dedup.jaccardSorted(sha, shb)) }
-      .toDF("a", "b", "jaccard")
-      .where($"jaccard" >= threshold)
-      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"), $"jaccard")
-      .localCheckpoint(true) // self-owned cache lifetime, as minhashNearDups
+    val out = Dedup.refineJaccard(cand, sh, threshold)
     cand.unpersist()
     newBands.unpersist()
     prepared.unpersist()

@@ -240,9 +240,19 @@ class TileStore(root: String)(implicit spark: SparkSession) {
           }
         }.toMap
       }
-    def oldEnough(v: Long): Boolean = minAgeSeconds <= 0 ||
-      tsOf.get(v + 1).orElse(tsOf.get(v)).forall(t =>
-        System.currentTimeMillis - t >= minAgeSeconds * 1000L)
+    def oldEnough(v: Long): Boolean = minAgeSeconds <= 0 || {
+      tsOf.get(v + 1) match {
+        case Some(t) => System.currentTimeMillis - t >= minAgeSeconds * 1000L
+        case None =>
+          // v's own commit time is when it BECAME head, not when it left —
+          // useless as an upper bound on the read window. With the guard
+          // active, missing successor evidence keeps the version
+          // (conservative: a truncated v+1 record must not unlink a
+          // snapshot a pinned reader may still scan); a fully legacy store
+          // (no ts_ms anywhere) retains pre-guard behavior.
+          tsOf.isEmpty
+      }
+    }
     var dirs = 0
     var bytes = 0L
     val rels = {
