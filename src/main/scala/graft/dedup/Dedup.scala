@@ -440,6 +440,18 @@ object Dedup {
       jaccardJoin(docs, threshold, n, maxDf).select("a", "b"),
       docs.select("doc_id"))
 
+  /** The DEDUPLICATED corpus — the terminal step of the whole pipeline:
+    * keep exactly the canonical document of every near-dup cluster (the
+    * member whose id IS the cluster id, i.e. the minimum). `clusters` is
+    * `connectedComponents`/`dedupClusters` output (id, cluster_id); the
+    * join is a broadcast-able keep-set at any realistic dedup rate, and
+    * singletons keep themselves by construction so the result is exactly
+    * one row per cluster. */
+  def applyKeepList(docs: DataFrame, clusters: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      clusters.where(col("id") === col("cluster_id")).select(col("id").as(idCol)),
+      idCol)
+
   /** IMAGE-side canonical resolution — the keep-list step a training-corpus
     * pipeline runs after near-dup pair detection: exact hamming pairs
     * (`phashNearDups`, multi-index pigeonhole join) resolved to clusters;

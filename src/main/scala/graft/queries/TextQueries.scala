@@ -74,6 +74,18 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // the TERMINAL dedup step: the kept corpus after cluster resolution —
+    // exactly one (canonical, minimum-id) document per near-dup cluster,
+    // singletons included. DuckDB recomputes keep-or-drop independently
+    // from its own recursive reachability closure.
+    "q_d9_keep_corpus" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val docs = documents(s, d).where(col("doc_id") < 500)
+      val clusters = graft.dedup.Dedup.dedupClusters(docs, threshold = 0.7)
+      graft.dedup.Dedup.applyKeepList(docs, clusters)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // quality score: avg chars per whitespace token (deterministic double)
     "q_t2b_chars_per_token" -> ((s, d) =>
       documents(s, d)
@@ -141,6 +153,29 @@ object TextQueries {
            SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
            UNION
            SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u)
-         SELECT u AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1"""
+         SELECT u AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1""",
+    // same reachability closure; kept = documents that ARE their cluster's
+    // minimum (singletons trivially keep themselves)
+    "q_d9_keep_corpus" ->
+      """WITH RECURSIVE sh AS (
+           SELECT DISTINCT doc_id, substring(text, g, 3) AS s
+           FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS g
+                 FROM documents WHERE length(text) >= 3 AND doc_id < 500)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT a, b FROM inter
+                   JOIN sizes sa ON sa.doc_id = a
+                   JOIN sizes sb ON sb.doc_id = b
+                   WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7),
+         edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         reach(u, m) AS (
+           SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+           UNION
+           SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u),
+         kept AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING min(m) = u)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d JOIN kept k ON d.doc_id = k.doc_id"""
   )
 }

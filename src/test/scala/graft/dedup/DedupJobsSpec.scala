@@ -223,6 +223,23 @@ class DedupJobsSpec extends AnyFunSuite {
     assert(got.values.toSet.subsetOf(got.keySet), "cluster ids are member ids")
   }
 
+  test("applyKeepList keeps exactly one canonical doc per cluster") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val (docs, planted) = corpus
+    val df = docs.toDF("doc_id", "text")
+    val clusters = Dedup.dedupClusters(df, threshold = 0.7)
+    val kept = Dedup.applyKeepList(df, clusters).as[(Long, String)].collect().map(_._1).toSet
+    val byCluster = clusters.as[(Long, Long)].collect().groupBy(_._2)
+    assert(kept === byCluster.keySet, "kept set must be exactly the cluster ids")
+    byCluster.foreach { case (cid, members) =>
+      assert(cid === members.map(_._1).min, "canonical id must be the cluster minimum")
+    }
+    // a planted near-dup pair can never BOTH survive dedup
+    planted.foreach { case (a, b) => assert(!(kept(a) && kept(b)), s"pair ($a,$b) both kept") }
+    assert(kept.size < docs.size, "planted dups must be dropped")
+  }
+
   test("connectedComponents rejects orphan edge endpoints (pairs ⊄ nodes is loud)") {
     implicit val s: SparkSession = spark
     import s.implicits._
