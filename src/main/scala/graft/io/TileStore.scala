@@ -220,9 +220,11 @@ class TileStore(root: String)(implicit spark: SparkSession) {
     * a version is unlinked only if it left HEAD at least that long ago
     * (timestamp of the SUCCEEDING commit record — a reader can only have
     * resolved v while v was HEAD, so v+1's commit time bounds the start of
-    * any in-flight read of v). 0 disables the guard (run-once jobs where
-    * no concurrent reader exists). Records from before the ts_ms field
-    * default to deletable. */
+    * any in-flight read of v; with v+1's record missing, the EARLIEST
+    * later commit's timestamp is the conservative substitute bound). 0
+    * disables the guard (run-once jobs where no concurrent reader
+    * exists). A fully legacy store with no ts_ms anywhere stays deletable
+    * as before the guard existed. */
   def gc(keepVersions: Int = 2, minAgeSeconds: Long = 0): (Int, Long) = {
     require(keepVersions >= 1, s"must keep at least the HEAD version, got $keepVersions")
     require(minAgeSeconds >= 0, s"minAgeSeconds must be >= 0, got $minAgeSeconds")
@@ -245,12 +247,16 @@ class TileStore(root: String)(implicit spark: SparkSession) {
         case Some(t) => System.currentTimeMillis - t >= minAgeSeconds * 1000L
         case None =>
           // v's own commit time is when it BECAME head, not when it left —
-          // useless as an upper bound on the read window. With the guard
-          // active, missing successor evidence keeps the version
-          // (conservative: a truncated v+1 record must not unlink a
-          // snapshot a pinned reader may still scan); a fully legacy store
-          // (no ts_ms anywhere) retains pre-guard behavior.
-          tsOf.isEmpty
+          // useless as an upper bound on the read window. But ANY later
+          // commit's timestamp works (v left HEAD at v+1's commit, which
+          // is ≤ every later commit): mixed-era stores reclaim pre-ts_ms
+          // versions once a later record proves them provably old, while
+          // a truncated successor record alone never unlinks a snapshot a
+          // pinned reader may still scan. A fully legacy store (no ts_ms
+          // anywhere) retains pre-guard deletability.
+          val later = tsOf.collect { case (k, t) if k > v => t }
+          if (later.isEmpty) tsOf.isEmpty
+          else System.currentTimeMillis - later.min >= minAgeSeconds * 1000L
       }
     }
     var dirs = 0

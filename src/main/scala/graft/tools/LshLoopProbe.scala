@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, max, min}
 
 /**
  * Incremental-dedup service loop over the persisted LSH index: build from
@@ -13,10 +13,18 @@ import org.apache.spark.sql.functions.col
  * directory prune + bucket semi-join keep the quadratic stage bounded by
  * the batch's bucket footprint.
  *
- * Also cross-checks correctness on the final state: the union of all
- * probe outputs must equal batch-mode minhashNearDups over the full
- * corpus (every pair is "new" exactly once — when its later document's
- * batch is probed).
+ * Correctness cross-check on the final state: the SET of all probed pairs
+ * plus batch 0's internal pairs must equal batch-mode `minhashNearDups`
+ * over the full corpus exactly (every pair surfaces exactly once — when
+ * its later document's batch arrives). Both sides run UNCAPPED
+ * (maxBucket = Int.MaxValue): the incremental cap is taken over the
+ * corpus-so-far, so a bucket crossing the cap mid-stream would make the
+ * two computations legitimately differ — cap semantics have their own
+ * oracle (q_d3/q_d8, DedupJobsSpec); this tool isolates the loop
+ * identity.
+ *
+ * Preconditions (checked loudly): dense doc_ids 0..n-1 (batching is by id
+ * range) and a corpus spanning at least two batches.
  */
 object LshLoopProbe {
   def main(args: Array[String]): Unit = {
@@ -26,37 +34,51 @@ object LshLoopProbe {
     val batchSize = if (args.nonEmpty) args(0).toLong else 500L
     val docs = graft.queries.Tables.documents(spark, sfDir).select("doc_id", "text").persist()
     val n = docs.count()
+    val (minId, maxId) = docs.agg(min("doc_id"), max("doc_id")).as[(Long, Long)].head()
+    require(minId == 0L && maxId == n - 1,
+      s"LshLoopProbe batches by id range and needs dense doc_ids 0..${n - 1}; got [$minId, $maxId]")
     val nBatches = ((n + batchSize - 1) / batchSize).toInt
+    require(nBatches >= 2, s"corpus ($n docs) must span >= 2 batches of $batchSize")
+    val noCap = Int.MaxValue
     val dir = java.nio.file.Files.createTempDirectory("lsh-loop").toString
-    val t0 = System.nanoTime()
-    graft.dedup.LshIndex.build(docs.where(col("doc_id") < batchSize), dir, bands = 8)
-    println(f"[lsh-loop] build batch=0 docs=$batchSize sec=${(System.nanoTime() - t0) / 1e9}%.2f")
-    var pairTotal = 0L
-    val probeSecs = (1 until nBatches).map { b =>
-      val batch = docs.where(col("doc_id") >= b * batchSize && col("doc_id") < (b + 1) * batchSize)
-      val tp = System.nanoTime()
-      val pairs = graft.dedup.LshIndex.probe(dir, batch, threshold = 0.8, bands = 8).count()
-      val probeSec = (System.nanoTime() - tp) / 1e9
-      val ta = System.nanoTime()
-      graft.dedup.LshIndex.append(batch, dir, bands = 8)
-      val appendSec = (System.nanoTime() - ta) / 1e9
-      pairTotal += pairs
-      println(f"[lsh-loop] batch=$b indexed=${b * batchSize} probe_sec=$probeSec%.2f " +
-        f"append_sec=$appendSec%.2f pairs=$pairs")
-      probeSec
+    try {
+      val t0 = System.nanoTime()
+      graft.dedup.LshIndex.build(docs.where(col("doc_id") < batchSize), dir, bands = 8)
+      println(f"[lsh-loop] build batch=0 docs=$batchSize sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      val probed = scala.collection.mutable.Set.empty[(Long, Long)]
+      val probeSecs = (1 until nBatches).map { b =>
+        val batch = docs.where(col("doc_id") >= b * batchSize && col("doc_id") < (b + 1) * batchSize)
+        val tp = System.nanoTime()
+        val pairs = graft.dedup.LshIndex.probe(dir, batch, threshold = 0.8, bands = 8,
+            maxBucket = noCap)
+          .select("a", "b").as[(Long, Long)].collect()
+        val probeSec = (System.nanoTime() - tp) / 1e9
+        val ta = System.nanoTime()
+        graft.dedup.LshIndex.append(batch, dir, bands = 8)
+        val appendSec = (System.nanoTime() - ta) / 1e9
+        probed ++= pairs
+        println(f"[lsh-loop] batch=$b indexed=${b * batchSize} probe_sec=$probeSec%.2f " +
+          f"append_sec=$appendSec%.2f pairs=${pairs.length}")
+        probeSec
+      }
+      // exact SET identity (counts alone could mask compensating errors)
+      def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("a", "b").as[(Long, Long)].collect().toSet
+      val batchMode = pairSet(
+        graft.dedup.Dedup.minhashNearDups(docs, threshold = 0.8, bands = 8, maxBucket = noCap))
+      val inBatch0 = pairSet(graft.dedup.Dedup.minhashNearDups(
+        docs.where(col("doc_id") < batchSize), threshold = 0.8, bands = 8, maxBucket = noCap))
+      val union = probed.toSet ++ inBatch0
+      val ok = union == batchMode && probed.toSet.intersect(inBatch0).isEmpty
+      println(s"[lsh-loop] probes=${probed.size} batch0_internal=${inBatch0.size} " +
+        s"batch_mode=${batchMode.size} set_match=$ok" +
+        (if (ok) "" else s" missing=${(batchMode -- union).take(3)} extra=${(union -- batchMode).take(3)}"))
+      println(f"[lsh-loop] probe_sec first=${probeSecs.head}%.2f last=${probeSecs.last}%.2f " +
+        f"ratio=${probeSecs.last / probeSecs.head}%.2f (flat ratio = probe cost tracks batch, not index)")
+      if (!ok) throw new IllegalStateException("probe-union pair set != batch mode")
+    } finally {
+      graft.stream.StreamDedup.deleteTree(dir)
+      spark.stop()
     }
-    // correctness: Σ probe pairs == batch-mode pairs over the full corpus
-    val batchMode = graft.dedup.Dedup.minhashNearDups(docs, threshold = 0.8, bands = 8).count()
-    val firstBatchPairs = batchMode - pairTotal // pairs wholly inside batch 0, never probed
-    val inBatch0 = graft.dedup.Dedup.minhashNearDups(
-      docs.where(col("doc_id") < batchSize), threshold = 0.8, bands = 8).count()
-    println(f"[lsh-loop] probes_total=$pairTotal batch_mode=$batchMode batch0_internal=$inBatch0 " +
-      s"match=${pairTotal + inBatch0 == batchMode}")
-    println(f"[lsh-loop] probe_sec first=${probeSecs.head}%.2f last=${probeSecs.last}%.2f " +
-      f"ratio=${probeSecs.last / probeSecs.head}%.2f (flat ratio = probe cost tracks batch, not index)")
-    graft.stream.StreamDedup.deleteTree(dir)
-    spark.stop()
-    if (firstBatchPairs != inBatch0)
-      throw new IllegalStateException("probe union != batch mode") // loud in scripts
   }
 }
