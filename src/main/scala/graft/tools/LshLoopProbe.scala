@@ -32,6 +32,7 @@ object LshLoopProbe {
     import spark.implicits._
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val batchSize = if (args.nonEmpty) args(0).toLong else 500L
+    val compactEvery = if (args.length > 1) args(1).toInt else 0 // 0 = never
     val docs = graft.queries.Tables.documents(spark, sfDir).select("doc_id", "text").persist()
     val n = docs.count()
     val (minId, maxId) = docs.agg(min("doc_id"), max("doc_id")).as[(Long, Long)].head()
@@ -59,6 +60,11 @@ object LshLoopProbe {
         probed ++= pairs
         println(f"[lsh-loop] batch=$b indexed=${b * batchSize} probe_sec=$probeSec%.2f " +
           f"append_sec=$appendSec%.2f pairs=${pairs.length}")
+        if (compactEvery > 0 && b % compactEvery == 0) {
+          val tc = System.nanoTime()
+          graft.dedup.LshIndex.compact(dir)
+          println(f"[lsh-loop] compact after batch=$b sec=${(System.nanoTime() - tc) / 1e9}%.2f")
+        }
         probeSec
       }
       // exact SET identity (counts alone could mask compensating errors)

@@ -83,6 +83,39 @@ class LshIndexSpec extends AnyFunSuite {
     graft.stream.StreamDedup.deleteTree(dir)
   }
 
+  test("compact: one file per partition, probe results identical, crash window recoverable") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val (oldDocs, batch2, batch3) = corpus
+    val dir = java.nio.file.Files.createTempDirectory("lsh-compact").toString
+    LshIndex.build(oldDocs.toDF("doc_id", "text"), dir, bands = 16)
+    LshIndex.append(batch2.toDF("doc_id", "text"), dir, bands = 16)
+    def bandFiles(): Int = {
+      val root = new java.io.File(s"$dir/bands")
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("bpb="))
+        .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    }
+    val probe3 = batch3.toDF("doc_id", "text")
+    val before = pairsOf(LshIndex.probe(dir, probe3, threshold = 0.7, bands = 16))
+    val filesBefore = bandFiles()
+    LshIndex.compact(dir)
+    val filesAfter = bandFiles()
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count (before=$filesBefore after=$filesAfter)")
+    val dirsAfter = new java.io.File(s"$dir/bands").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bpb="))
+    assert(filesAfter === dirsAfter, "exactly one file per live partition after compaction")
+    assert(pairsOf(LshIndex.probe(dir, probe3, threshold = 0.7, bands = 16)) === before,
+      "compaction changed probe results")
+    // crash window: live renamed away, .old present — probe must recover
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, "bands"), java.nio.file.Paths.get(dir, "bands.old"))
+    assert(pairsOf(LshIndex.probe(dir, probe3, threshold = 0.7, bands = 16)) === before,
+      "probe did not roll back a crashed compaction")
+    graft.stream.StreamDedup.deleteTree(dir)
+  }
+
   test("probe's index scan is directory-pruned to the batch's bucket partitions") {
     implicit val s: SparkSession = spark
     import s.implicits._
