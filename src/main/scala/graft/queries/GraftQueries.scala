@@ -615,6 +615,25 @@ object GraftQueries {
       graft.dedup.Dedup.phashClusters(hashes, maxDist = 6)
     }),
 
+    // STREAMING TEXT near-dedup: the live stateful stream (SimHash inside
+    // the stream → pigeonhole block state) over 4 id-ordered document
+    // micro-batches; DuckDB recomputes every verdict independently with a
+    // correlated EXISTS over the driver-side kernel dump's simhash values.
+    "q_stream_text_neardup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      docHashDump(s, d) // oracle side: same-kernel simhash dump
+      val docs = documents(s, d).where(col("doc_id") < 500)
+        .select(col("doc_id").as("id"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("q-stream-text").toString
+      val flat = graft.stream.StreamDedup
+        .writeIdOrderedSlices(docs, nSlices = 4, sliceSize = 125, base)
+      val out = graft.stream.StreamDedup
+        .runOnceText(flat, docs.schema, s"q_stream_text_${System.nanoTime()}")
+        .select(col("id"), col("simhash"), col("is_dup"))
+      graft.stream.StreamDedup.deleteTree(base)
+      out
+    }),
+
     "q_stream_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
@@ -898,6 +917,12 @@ object GraftQueries {
                  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
           FROM imgs a JOIN imgs b ON a.id < b.id
           WHERE bit_count(xor(a.ph, b.ph)) <= 3""",
+    "q_stream_text_neardup" ->
+      s"""SELECT a.doc_id AS id, a.simhash,
+                 EXISTS(SELECT 1 FROM read_parquet('$DocHashDumpPath/*.parquet') b
+                        WHERE b.doc_id < a.doc_id AND b.doc_id < 500
+                          AND bit_count(xor(a.simhash, b.simhash)) <= 3) AS is_dup
+          FROM read_parquet('$DocHashDumpPath/*.parquet') a WHERE a.doc_id < 500""",
     "q_stream_neardup" ->
       s"""WITH imgs(id, ph) AS (VALUES $phashValues)
           SELECT CAST(a.id AS BIGINT) AS id, CAST(a.ph AS BIGINT) AS phash,

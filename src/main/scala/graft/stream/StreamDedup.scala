@@ -129,6 +129,37 @@ object StreamDedup {
     collapse(spark.table(queryName))
   }
 
+  /** Streaming TEXT near-dedup: document rows → 64-bit SimHash (inside
+    * the stream) → the SAME pigeonhole block state machine as the image
+    * path (hamming ≤ maxDist vs any earlier document). One exact state
+    * kernel, two modalities — the batch counterpart is the q_d4 SimHash
+    * family (block equality IS the standard hamming≤3 candidate filter,
+    * and the verify inside `updateBucket` makes the verdict exact over
+    * retained state). Same id-ordered arrival contract as `runOnce`. */
+  def textNearDupStream(docs: DataFrame, maxDist: Int = 3,
+                        maxBucketState: Int = DefaultMaxBucketState)(
+      implicit spark: SparkSession): Dataset[BlockVerdict] = {
+    import spark.implicits._
+    val hashed = docs.select("id", "text").as[(Long, String)]
+      .map { case (id, t) => (id, Dedup.simhash64(t)) }.toDF("id", "phash")
+    nearDupStream(hashed, maxDist, maxBucketState)
+  }
+
+  /** Drive a (id, text) file source to completion and return collapsed
+    * per-document verdicts (id, simhash, is_dup, any_bucket_full). */
+  def runOnceText(sourceDir: String, schema: org.apache.spark.sql.types.StructType,
+                  queryName: String, maxDist: Int = 3)(
+      implicit spark: SparkSession): DataFrame = {
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(sourceDir)
+    val q = textNearDupStream(src, maxDist).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    collapse(spark.table(queryName)).withColumnRenamed("phash", "simhash")
+  }
+
   /** Micro-batch harness shared by the spec and the catalog query: write
     * `df` as `nSlices` id-ranged parquet files under a fresh `base`
     * (copy order = id order, satisfying the arrival contract) and return

@@ -29,6 +29,38 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("TEXT stream (SimHash inside the stream) == batch oracle over simhashes") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // near-dup copies: same token stream with one word swapped → simhash
+    // within a few bits; distinct docs land far apart
+    val vocab = Vector("tile", "spark", "heatmap", "pixel", "track", "user",
+      "join", "query", "raster", "vector", "zoom", "layer")
+    val rnd = new java.util.Random(13)
+    def doc(): String = Seq.fill(80)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base0 = (0L until 60L).map(i => (i, doc()))
+    val copies = (0 until 15).map { i =>
+      val w = base0(i)._2.split(" "); w(7) = vocab(rnd.nextInt(vocab.size))
+      (100L + i, w.mkString(" "))
+    }
+    val docs = (base0 ++ copies).sortBy(_._1)
+    val df = docs.toDF("id", "text")
+
+    val base = java.nio.file.Files.createTempDirectory("streamtext").toString
+    val flat = StreamDedup.writeIdOrderedSlices(df, nSlices = 3, sliceSize = 50L, base)
+    val got = StreamDedup.runOnceText(flat, df.schema, "streamtext_test")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_dup")).toMap
+
+    val hashed = docs.map { case (id, t) => (id, graft.dedup.Dedup.simhash64(t)) }
+      .toDF("id", "phash")
+    val want = StreamDedup.nearDupBatch(hashed)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_dup")).toMap
+    assert(want.values.exists(identity) && want.values.exists(!_),
+      "corpus must contain both near-dups and originals under simhash dist 3")
+    assert(got === want)
+    StreamDedup.deleteTree(base)
+  }
+
   test("saturated bucket: distinct-only state, stops growing, keeps matching, flags loudly") {
     implicit val s: SparkSession = spark
     import s.implicits._
