@@ -179,6 +179,31 @@ object GraftQueries {
     LshIndexPath
   }
 
+  /** Persisted phash block index over planted images with
+    * id < PhashProbeSplit; q_img_phash_probe probes the remainder.
+    * Marker-shared like the other indexes (input is deterministic — the
+    * marker key is the corpus constant, not the sf dir). */
+  val PhashIndexPath = "/tmp/graft_oracle/phash_index"
+  val PhashProbeSplit = 384L
+  private def phashIndexDir(s: SparkSession): String = {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    val source = s"planted:$PhashProbeSplit"
+    val marker = java.nio.file.Paths.get(PhashIndexPath + ".source")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == source &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(PhashIndexPath, "blocks", "_SUCCESS"))
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      val idx = sp.range(PhashProbeSplit).as[Long]
+        .map(i => (i, ImageSynth.plantedPhash(i))).toDF("id", "phash")
+      graft.dedup.PhashIndex.build(idx, PhashIndexPath, maxDist = 3)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, source.getBytes("UTF-8"))
+    }
+    PhashIndexPath
+  }
+
   /** Driver-side kernel recomputation of the doc-hash surfaces (simhash +
     * winnowing fingerprint) for the CURRENT sf dir, shared-dump'd. The
     * q_d4/q_d5 oracles compare the DISTRIBUTED Dataset.map against a
@@ -570,6 +595,20 @@ object GraftQueries {
       graft.dedup.Dedup.phashNearDups(imgs, maxDist = 3)
     }),
 
+    // PERSISTED phash index probe (image index-once/probe-many, mirroring
+    // q_d8's text path): images >= PhashProbeSplit probed against the
+    // on-disk block index of earlier images; must equal the batch-mode
+    // hamming join restricted to pairs touching the batch. Oracle: the
+    // same brute-force cross join as q_img_phash_neardups, filtered.
+    "q_img_phash_probe" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val dir = phashIndexDir(s)
+      val batch = sp.range(PhashProbeSplit, PhashQueryRows).as[Long]
+        .map(i => (i, ImageSynth.plantedPhash(i))).toDF("id", "phash")
+      graft.dedup.PhashIndex.probe(dir, batch, maxDist = 3)
+    }),
+
     // END-TO-END image similarity search: bytes → in-engine pooled-luma
     // embedding (per-partition batches) → exact cosine top-k for a harshly
     // re-encoded probe of original 0 — which must surface as the top hit.
@@ -917,6 +956,13 @@ object GraftQueries {
                  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
           FROM imgs a JOIN imgs b ON a.id < b.id
           WHERE bit_count(xor(a.ph, b.ph)) <= 3""",
+    "q_img_phash_probe" ->
+      s"""WITH imgs(id, ph) AS (VALUES $phashValues)
+          SELECT CAST(a.id AS BIGINT) AS a, CAST(b.id AS BIGINT) AS b,
+                 CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
+          FROM imgs a JOIN imgs b ON a.id < b.id
+          WHERE bit_count(xor(a.ph, b.ph)) <= 3
+            AND (a.id >= $PhashProbeSplit OR b.id >= $PhashProbeSplit)""",
     "q_stream_text_neardup" ->
       s"""SELECT a.doc_id AS id, a.simhash,
                  EXISTS(SELECT 1 FROM read_parquet('$DocHashDumpPath/*.parquet') b
