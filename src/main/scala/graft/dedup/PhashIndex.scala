@@ -49,6 +49,9 @@ object PhashIndex {
   private def maxDistFile(dir: String) = java.nio.file.Paths.get(dir, "MAXDIST")
 
   private def checkRadius(dir: String, maxDist: Int): Unit = {
+    require(java.nio.file.Files.exists(maxDistFile(dir)),
+      s"no complete phash index at $dir (MAXDIST missing — build writes it last, " +
+        "so a crashed build reads as absent, not as a usable index)")
     val stored = new String(java.nio.file.Files.readAllBytes(maxDistFile(dir)), "UTF-8").trim.toInt
     require(stored == maxDist,
       s"index at $dir was built for maxDist=$stored; probe/append at $maxDist would break " +
