@@ -107,39 +107,11 @@ object LshIndex {
     * `append` adds one parquet file per touched directory per batch, so
     * after B batches a probe's pruned scan opens ~B files per directory —
     * the measured ~20 % probe drift over 9 appends (BENCH/BASELINE.md).
-    * Run periodically, like any LSM-ish maintained index. The rewrite
-    * stages into a sibling directory and atomically renames, so a crash
-    * leaves either the old or the new layout, never a mix; the shingle
-    * table (unpartitioned, append-only) is compacted the same way. */
+    * Run periodically, like any LSM-ish maintained index (crash safety:
+    * see `IndexFiles.compactDir`). */
   def compact(dir: String)(implicit spark: SparkSession): Unit = {
-    def rewrite(sub: String, partitioned: Boolean): Unit = {
-      val live = java.nio.file.Paths.get(dir, sub)
-      val tmp = java.nio.file.Paths.get(dir, s"$sub.compacting")
-      val old = java.nio.file.Paths.get(dir, s"$sub.old")
-      graft.stream.StreamDedup.deleteTree(tmp.toString)
-      graft.stream.StreamDedup.deleteTree(old.toString)
-      val df = spark.read.parquet(live.toString)
-      val writer =
-        if (partitioned) df.repartition(col("bpb")).write.partitionBy("bpb")
-        else df.coalesce(1).write
-      writer.mode("overwrite").parquet(tmp.toString)
-      // two renames: live→old, tmp→live. A crash between them leaves no
-      // live dir — recover() (called at the top of probe) rolls old back.
-      java.nio.file.Files.move(live, old)
-      java.nio.file.Files.move(tmp, live)
-      graft.stream.StreamDedup.deleteTree(old.toString)
-    }
-    rewrite("bands", partitioned = true)
-    rewrite("shingles", partitioned = false)
-  }
-
-  /** Roll back a compaction that crashed between its two renames (no live
-    * dir, but a `.old` backup present). Cheap no-op otherwise. */
-  private def recover(dir: String, sub: String): Unit = {
-    val live = java.nio.file.Paths.get(dir, sub)
-    val old = java.nio.file.Paths.get(dir, s"$sub.old")
-    if (!java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
-      java.nio.file.Files.move(old, live)
+    IndexFiles.compactDir(dir, "bands", partitioned = true)
+    IndexFiles.compactDir(dir, "shingles", partitioned = false)
   }
 
   /** Near-dup pairs of `batch` against the index AND within the batch —
@@ -153,7 +125,7 @@ object LshIndex {
             capObs: Option[org.apache.spark.sql.Observation] = None)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    recover(dir, "bands"); recover(dir, "shingles") // crashed-compaction rollback
+    IndexFiles.recover(dir, "bands"); IndexFiles.recover(dir, "shingles")
     // ONE prep pass over the batch (persisted): feeds the band rows, the
     // bpb footprint AND the refine-side shingle arrays
     val prepared = Dedup.shingleSigs(batch, numHashes).persist()

@@ -77,6 +77,12 @@ object PhashIndex {
       .write.mode("append").partitionBy("bpb").parquet(s"$dir/blocks")
   }
 
+  /** Compact the block table: one file per bpb partition (append adds one
+    * file per touched directory per batch — same fragmentation, same fix
+    * as `LshIndex.compact`; crash-safe via `IndexFiles.compactDir`). */
+  def compact(dir: String)(implicit spark: SparkSession): Unit =
+    IndexFiles.compactDir(dir, "blocks", partitioned = true)
+
   /** Exact hamming pairs (a, b, dist) of `batch` vs the index AND within
     * the batch — `phashNearDups(indexed ∪ batch)` restricted to pairs
     * touching the batch. The index contributes a directory-pruned,
@@ -85,6 +91,7 @@ object PhashIndex {
             capObs: Option[org.apache.spark.sql.Observation] = None)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    IndexFiles.recover(dir, "blocks") // crashed-compaction rollback
     checkRadius(dir, maxDist)
     val newBlocks = blockRows(batch, maxDist).withColumn("is_new", lit(true)).persist()
     val touched = newBlocks.select("bpb").distinct().as[Int].collect().toSeq

@@ -15,6 +15,13 @@ class PhashIndexSpec extends AnyFunSuite {
     df.as[(Long, Long, Long)].collect().toSet
   }
 
+  private def blockFiles(dir: String): Int = {
+    val root = new java.io.File(s"$dir/blocks")
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bpb="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+  }
+
   test("probe == batch phashNearDups restricted to pairs touching the batch; append path") {
     implicit val s: SparkSession = spark
     import s.implicits._
@@ -45,6 +52,17 @@ class PhashIndexSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](
       PhashIndex.probe(dir, batch3.toDF("id", "phash"), maxDist = 6))
     assert(err.getMessage.contains("maxDist"))
+
+    // compaction: results invariant, crash window recoverable
+    val filesBefore = blockFiles(dir)
+    PhashIndex.compact(dir)
+    assert(blockFiles(dir) < filesBefore, "compaction must shrink the file count")
+    assert(pairsOf(PhashIndex.probe(dir, batch3.toDF("id", "phash"), maxDist = 3)) === want3,
+      "compaction changed probe results")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, "blocks"), java.nio.file.Paths.get(dir, "blocks.old"))
+    assert(pairsOf(PhashIndex.probe(dir, batch3.toDF("id", "phash"), maxDist = 3)) === want3,
+      "probe did not roll back a crashed compaction")
 
     // pruning: the probe scan's bpb filter lands as a partition filter
     val one = Seq(batch3.head).toDF("id", "phash")
