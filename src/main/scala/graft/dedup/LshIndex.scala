@@ -151,8 +151,14 @@ object LshIndex {
     // semi-join must not shuffle the index side it exists to shrink
     val newKeys = broadcast(newBands.select("band", "bucket").distinct())
     val relevant = combined.join(newKeys, Seq("band", "bucket"), "left_semi")
-    // cap over index ∪ batch membership == batch-mode cap (see scaladoc)
+    // cap over index ∪ batch membership == batch-mode cap (see scaladoc).
+    // persisted: `capped` feeds BOTH sides of the candidate self-join, and
+    // its subtree (pruned index scan + semi-join + the cap's sizes join) is
+    // the expensive part of the probe — un-persisted, that subtree re-ran
+    // up to 4× per probe (once per join side × once per cap use; measured
+    // ~2× the steady probe cost at sf0.1 with a 500-doc batch)
     val capped = graft.spark.BucketCap.cap(relevant, Seq("band", "bucket"), maxBucket, capObs)
+      .persist()
     // persisted: the candidate set feeds the final refine join AND both
     // candIds scans — without it each action re-runs the capped self-join
     // (measured 3× the steady probe cost at sf0.1)
@@ -166,9 +172,14 @@ object LshIndex {
       .union(cand.select(col("b").as("doc_id"))).distinct()
     val idxSh = spark.read.parquet(s"$dir/shingles")
       .join(candIds, "doc_id")
+    // persisted: refineJaccard joins `sh` TWICE (a-side and b-side) — the
+    // shingle-lookup subtree (payload scan + candIds semi) must not run
+    // once per side
     val sh = idxSh.unionByName(shingleRowsOf(prepared))
-      .as[(Long, Array[Long])].toDF("doc_id", "sh")
+      .as[(Long, Array[Long])].toDF("doc_id", "sh").persist()
     val out = Dedup.refineJaccard(cand, sh, threshold)
+    sh.unpersist()
+    capped.unpersist()
     cand.unpersist()
     newBands.unpersist()
     prepared.unpersist()
