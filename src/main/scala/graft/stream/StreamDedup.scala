@@ -114,20 +114,40 @@ object StreamDedup {
       .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
   }
 
-  /** Drive a file source to completion (AvailableNow) and return the
-    * collapsed per-image verdicts. */
-  def runOnce(sourceDir: String, schema: org.apache.spark.sql.types.StructType,
-              queryName: String, maxDist: Int = 3)(
-      implicit spark: SparkSession): DataFrame = {
-    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(sourceDir)
-    val q = nearDupStream(src, maxDist).writeStream
+  /** State-store partition count for the bounded drive-to-completion
+    * harnesses: each micro-batch commits one state-store delta PER state
+    * partition, so a 4-batch toy drive at the session's 32 shuffle
+    * partitions pays 128 state commits for a few thousand rows. The
+    * harness drives the stream in a cloned session (same SparkContext,
+    * own conf) pinned to a narrower state layout — purely an internal
+    * physical knob: verdicts are bucket-local, so the state partition
+    * count never changes results (StreamDedupSpec equality holds at any
+    * width). A real deployment sizes this to its key cardinality instead. */
+  val HarnessStatePartitions = 8
+
+  private def driveToCompletion(sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, queryName: String,
+      maxDist: Int, text: Boolean)(implicit spark: SparkSession): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", HarnessStatePartitions.toString)
+    val src = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(sourceDir)
+    val stream =
+      if (text) textNearDupStream(src, maxDist)(ss) else nearDupStream(src, maxDist)(ss)
+    val q = stream.writeStream
       .format("memory").queryName(queryName)
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    collapse(spark.table(queryName))
+    collapse(ss.table(queryName))
   }
+
+  /** Drive a file source to completion (AvailableNow) and return the
+    * collapsed per-image verdicts. */
+  def runOnce(sourceDir: String, schema: org.apache.spark.sql.types.StructType,
+              queryName: String, maxDist: Int = 3)(
+      implicit spark: SparkSession): DataFrame =
+    driveToCompletion(sourceDir, schema, queryName, maxDist, text = false)
 
   /** Streaming TEXT near-dedup: document rows → 64-bit SimHash (inside
     * the stream) → the SAME pigeonhole block state machine as the image
@@ -149,16 +169,9 @@ object StreamDedup {
     * per-document verdicts (id, simhash, is_dup, any_bucket_full). */
   def runOnceText(sourceDir: String, schema: org.apache.spark.sql.types.StructType,
                   queryName: String, maxDist: Int = 3)(
-      implicit spark: SparkSession): DataFrame = {
-    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(sourceDir)
-    val q = textNearDupStream(src, maxDist).writeStream
-      .format("memory").queryName(queryName)
-      .outputMode(OutputMode.Update())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    collapse(spark.table(queryName)).withColumnRenamed("phash", "simhash")
-  }
+      implicit spark: SparkSession): DataFrame =
+    driveToCompletion(sourceDir, schema, queryName, maxDist, text = true)
+      .withColumnRenamed("phash", "simhash")
 
   /** Micro-batch harness shared by the spec and the catalog query: write
     * `df` as `nSlices` id-ranged parquet files under a fresh `base`
