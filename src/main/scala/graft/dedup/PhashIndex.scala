@@ -103,7 +103,11 @@ object PhashIndex {
     // broadcast: a probe batch is small by definition
     val newKeys = broadcast(newBlocks.select("blk", "bval").distinct())
     val relevant = combined.join(newKeys, Seq("blk", "bval"), "left_semi")
+    // persisted across the self-join's two sides + the cap's sizes join —
+    // without it the pruned-scan + semi-join subtree evaluates up to 4×
+    // per probe (same fix as LshIndex.probe)
     val capped = graft.spark.BucketCap.cap(relevant, Seq("blk", "bval"), maxBucket, capObs)
+      .persist()
     val out = capped.as("l").join(capped.as("r"),
         $"l.blk" === $"r.blk" && $"l.bval" === $"r.bval" && $"l.id" < $"r.id")
       .where($"l.is_new" || $"r.is_new")
@@ -113,6 +117,7 @@ object PhashIndex {
       .where($"dist" <= maxDist)
       .select($"a", $"b", $"dist")
       .localCheckpoint(true)
+    capped.unpersist()
     newBlocks.unpersist()
     out
   }
