@@ -229,6 +229,20 @@ object Ann {
       .limit(k)
   }
 
+  /** EMBEDDING-side canonical resolution — the keep-list step after
+    * near-dup pair detection, completing the cluster-resolution triad
+    * (text `Dedup.dedupClusters`, image `Dedup.phashClusters`, and this):
+    * LSH-bucketed cosine pairs resolved to connected components;
+    * cluster_id = min vec_id of the component, singletons keep themselves.
+    * Output (id, cluster_id); `Dedup.applyKeepList` over it yields the
+    * deduplicated embedding corpus. */
+  def lshClusters(emb: DataFrame, threshold: Double = 0.95, nPlanes: Int = 12,
+                  maxBucket: Int = 256)(
+      implicit spark: SparkSession): DataFrame =
+    graft.dedup.Dedup.connectedComponents(
+      lshNearDupPairs(emb, threshold, nPlanes, maxBucket).select("a", "b"),
+      emb.select("vec_id"))
+
   /** Exact brute-force near-dup pairs (oracle for the LSH recall tests). */
   def exactNearDupPairs(emb: DataFrame, threshold: Double)(
       implicit spark: SparkSession): DataFrame = {

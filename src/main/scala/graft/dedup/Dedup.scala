@@ -211,6 +211,21 @@ object Dedup {
       .toDF("doc_id", "simhash", "b0", "b1", "b2", "b3")
   }
 
+  /** Batch SimHash near-dup pairs — the middle of the SimHash family
+    * (q_d4 computes the hashes, the streaming path judges arrivals; this
+    * is the batch join between them): exact hamming pairs over the 64-bit
+    * SimHash via the SAME pigeonhole multi-index join as the image phash
+    * path — `maxDist + 1` blocks, block-equality candidates (recall 1),
+    * bit_count verify. Input docs(doc_id, text); output (a, b, dist),
+    * a < b. Same BucketCap contract as `phashNearDups` (a boilerplate
+    * corpus collapsing onto one hash would square the bucket join). */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 4096,
+                      capObs: Option[org.apache.spark.sql.Observation] = None)(
+      implicit spark: SparkSession): DataFrame =
+    phashNearDups(
+      simhashes(docs).select(col("doc_id").as("id"), col("simhash").as("phash")),
+      maxDist, maxBucket, capObs)
+
   /** Rolling-hash document fingerprint (winnowing-style min sample of
     * window hashes) — the "document fingerprinting" op. */
   def fingerprint(text: String, window: Int = 8): Long = {

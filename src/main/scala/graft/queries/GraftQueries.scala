@@ -531,6 +531,18 @@ object GraftQueries {
       Dedup.simhashes(documents(s, d))
     }),
 
+    // Batch SimHash near-dup pairs — the missing middle of the SimHash
+    // family (q_d4 computes the hashes, q_stream_text_neardup judges
+    // streaming arrivals; this is the batch join between them). DuckDB
+    // independently recomputes the pairs by brute-force self-join over the
+    // same-kernel simhash dump — an INDEPENDENT computation of the pairs
+    // the pigeonhole multi-index join must find exactly (recall 1).
+    "q_d4b_simhash_pairs" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      docHashDump(s, d) // oracle side: same-kernel simhash dump
+      Dedup.simhashNearDups(documents(s, d), maxDist = 3)
+    }),
+
     "q_d5_fingerprints" -> ((s, d) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
@@ -545,6 +557,17 @@ object GraftQueries {
       lshPairsDump(s, d) // oracle: driver-side same-kernel recomputation
       Ann.lshNearDupPairs(embeddings(s, d), threshold = 0.2, nPlanes = 8)
         .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+    }),
+
+    // EMBEDDING cluster keep-list — the cluster-resolution triad's third
+    // leg (text q_d7, image q_img_dedup_clusters, embeddings here): the
+    // LSH cosine pairs resolved to connected components. DuckDB closes the
+    // same-kernel pair dump transitively with a recursive reachability CTE
+    // (the q_d7 scheme), an independent transitive closure of the pairs.
+    "q_ann_lsh_clusters" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      lshPairsDump(s, d) // oracle side: same-kernel pair dump
+      Ann.lshClusters(embeddings(s, d), threshold = 0.2, nPlanes = 8)
     }),
 
     // ---- image payload plumbing (rows-only; PSNR/caption gates in ScalaTest) ----
@@ -827,6 +850,14 @@ object GraftQueries {
     "q_d5_fingerprints" ->
       s"""SELECT doc_id, fingerprint
           FROM read_parquet('$DocHashDumpPath/*.parquet')""",
+    // brute-force self-join over the same-kernel simhash dump — independent
+    // of the engine's pigeonhole multi-index join (which must have recall 1)
+    "q_d4b_simhash_pairs" ->
+      s"""SELECT a.doc_id AS a, b.doc_id AS b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+          FROM read_parquet('$DocHashDumpPath/*.parquet') a
+          JOIN read_parquet('$DocHashDumpPath/*.parquet') b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
     // candidate-pair surfaces: the dumps hold DRIVER-side same-kernel
     // recomputations (local loops mirroring BucketCap + the exact cosine/
     // jaccard accumulation order); DuckDB applies its own rounding
@@ -845,6 +876,19 @@ object GraftQueries {
     "q_ann_lsh_neardups" ->
       s"""SELECT a, b, ROUND(sim, 6) AS sim
           FROM read_parquet('$LshPairsDumpPath/*.parquet')""",
+    // transitive closure of the same-kernel pair dump by recursive
+    // reachability (the q_d7/q_img_dedup_clusters scheme) — independent of
+    // the engine's pointer-jumping min-label propagation
+    "q_ann_lsh_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+            SELECT a, b FROM read_parquet('$LshPairsDumpPath/*.parquet')),
+          edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+          reach(u, m) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u)
+          SELECT CAST(u AS BIGINT) AS id, CAST(min(m) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY 1""",
     // full blob verification: byte length AND md5 over every exported
     // tile — the distributed narrow z14 encode + fused one-shuffle lower
     // export must reproduce the driver-side loop byte for byte

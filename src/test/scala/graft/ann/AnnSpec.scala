@@ -127,6 +127,47 @@ class AnnSpec extends AnyFunSuite {
     assert(parquets <= 16, s"$parquets files for 16 lists")
   }
 
+  test("lshClusters == union-find over the engine's own pair relation (embedding keep-list)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val rnd = new java.util.Random(23)
+    // chains of planted near-dups so clusters are transitive, not just pairs:
+    // base(i) ~ 1000+i ~ 2000+i (two perturbations of the same vector)
+    val base = vecs(200, 32)
+    val planted = (0 until 20).flatMap { i =>
+      val (_, v) = base(i)
+      Seq((1000L + i, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat)),
+          (2000L + i, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat)))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Ann.lshNearDupPairs(df, 0.99, nPlanes = 8)
+      .select("a", "b").as[(Long, Long)].collect()
+    val got = Ann.lshClusters(df, 0.99, nPlanes = 8).as[(Long, Long)].collect().toMap
+    // oracle: union-find with path compression over the SAME pair relation
+    // (pair correctness is the subset/recall test above; this test pins the
+    // composition: pairs → components → canonical min-id labels)
+    val ids = (base ++ planted).map(_._1)
+    val idx = ids.zipWithIndex.toMap
+    val parent = Array.tabulate(ids.size)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(idx(a)), find(idx(b)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-id labeling: the canonical id is the min MEMBER id, which under
+    // the sorted-union-find above is ids(root) only if ids is sorted — map
+    // each root to the min id of its members instead
+    val members = ids.groupBy(id => find(idx(id)))
+    val want = members.flatMap { case (_, ms) => ms.map(_ -> ms.min) }
+    assert(got === want)
+    // planted chains must merge: base(i), 1000+i, 2000+i share a cluster
+    // (recall over the chain is what the pair test already gated at 0.8;
+    // require most chains fully merged)
+    val merged = (0 until 20).count(i =>
+      got(i.toLong) == got(1000L + i) && got(i.toLong) == got(2000L + i))
+    assert(merged >= 16, s"only $merged/20 planted chains merged")
+  }
+
   test("bucket cap bounds a degenerate embedding cluster; drops are observed") {
     implicit val s: SparkSession = spark
     import s.implicits._

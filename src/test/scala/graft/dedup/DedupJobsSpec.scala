@@ -202,6 +202,31 @@ class DedupJobsSpec extends AnyFunSuite {
     assert(got.filter(p => p._1 >= 1000L).toSet === tailExact)
   }
 
+  test("simhashNearDups == brute-force hamming pairs over simhash64 (batch SimHash join)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val (docs, _) = corpus
+    // exact copies (hamming 0) + one-word swaps (small hamming) guarantee
+    // the join is non-trivially exercised across the 0..3 band
+    val copies = (0 until 5).map(i => (3000L + i, docs(i)._2))
+    val swaps = (0 until 5).map { i =>
+      val words = docs(i)._2.split(" ")
+      words(7) = Vocab((i + 3) % Vocab.size)
+      (4000L + i, words.mkString(" "))
+    }
+    val all = docs ++ copies ++ swaps
+    val got = Dedup.simhashNearDups(all.toDF("doc_id", "text"), maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val hashes = all.map { case (id, t) => (id, Dedup.simhash64(t)) }
+    val exact = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = Dedup.hamming(ha, hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(exact.exists(_._3 == 0L), "planted exact copies must land at dist 0")
+    assert(got === exact,
+      s"missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
+  }
+
   test("phashClusters == union-find over brute-force hamming pairs (image keep-list)") {
     implicit val s: SparkSession = spark
     import s.implicits._
