@@ -307,6 +307,21 @@ object GraftQueries {
     ()
   }
 
+  /** ENGINE-computed LSH cosine pairs (the q_ann_lsh_neardups result),
+    * materialized once per sf dir and shared by q_ann_lsh_clusters — the
+    * q_d6/q_d7 split applied to the embedding family: the pair query IS
+    * the measured pair operator, the cluster query measures only its
+    * marginal operator (the CC rounds) instead of re-running the pair join
+    * per invocation. Spark-side only; the DuckDB oracle reads the
+    * independent driver-side recomputation at LshPairsDumpPath. */
+  val AnnPairsDumpPath = "/tmp/graft_oracle/ann_engine_pairs.parquet"
+  private def annPairsDump(s: SparkSession, d: String): DataFrame =
+    sharedDump(s, AnnPairsDumpPath, d) { path =>
+      implicit val sp: SparkSession = s
+      Ann.lshNearDupPairs(embeddings(s, d), threshold = 0.2, nPlanes = 8)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+
   /** Driver-side recomputation of the full MVT blob tree for the CURRENT
     * sf dir: the same encode kernels (`encodeOneZ14`, `localRollup`,
     * `encodeOneTile`) run as a single-threaded loop over the collected
@@ -531,6 +546,29 @@ object GraftQueries {
       Dedup.simhashes(documents(s, d))
     }),
 
+    // CROSS-SIGNAL near-dup resolution — the "multiple dedup signals → one
+    // keep decision" step a real corpus pipeline runs last: documents and
+    // their embeddings share an id space; the text pairs (exact n-gram
+    // Jaccard) and the semantic pairs (LSH cosine) UNION into one edge set
+    // and connected components resolve a single canonical keep-list (a pair
+    // surfaced by EITHER signal merges the cluster). Both pair relations
+    // come from the shared engine dumps (each is its own measured catalog
+    // operator); this query measures the union + CC marginal. DuckDB
+    // recomputes the text pairs from the documents table, unions the
+    // independent driver-side cosine pair dump, and closes transitively
+    // with the recursive reachability CTE.
+    "q_d10_cross_clusters" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      lshPairsDump(s, d) // oracle side: same-kernel cosine pair dump
+      val textPairs = TextQueries.jaccardPairsDump(s, d).select("a", "b")
+      val embPairs = annPairsDump(s, d)
+        .where(col("a") < 500 && col("b") < 500).select("a", "b")
+      Dedup.connectedComponents(
+          textPairs.unionByName(embPairs),
+          TextQueries.dedupDocs(s, d).select("doc_id"))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
     // Batch SimHash near-dup pairs — the missing middle of the SimHash
     // family (q_d4 computes the hashes, q_stream_text_neardup judges
     // streaming arrivals; this is the batch join between them). DuckDB
@@ -561,13 +599,18 @@ object GraftQueries {
 
     // EMBEDDING cluster keep-list — the cluster-resolution triad's third
     // leg (text q_d7, image q_img_dedup_clusters, embeddings here): the
-    // LSH cosine pairs resolved to connected components. DuckDB closes the
+    // LSH cosine pairs resolved to connected components. Shares the
+    // ENGINE-computed pairs dump (q_ann_lsh_neardups is the measured pair
+    // operator; this query measures ITS marginal operator, the CC rounds —
+    // the q_d6/q_d7 split applied to embeddings). DuckDB closes the
     // same-kernel pair dump transitively with a recursive reachability CTE
     // (the q_d7 scheme), an independent transitive closure of the pairs.
     "q_ann_lsh_clusters" -> ((s, d) => {
       implicit val sp: SparkSession = s
       lshPairsDump(s, d) // oracle side: same-kernel pair dump
-      Ann.lshClusters(embeddings(s, d), threshold = 0.2, nPlanes = 8)
+      graft.dedup.Dedup.connectedComponents(
+          annPairsDump(s, d).select("a", "b"),
+          embeddings(s, d).select("vec_id"))
     }),
 
     // ---- image payload plumbing (rows-only; PSNR/caption gates in ScalaTest) ----
@@ -850,6 +893,31 @@ object GraftQueries {
     "q_d5_fingerprints" ->
       s"""SELECT doc_id, fingerprint
           FROM read_parquet('$DocHashDumpPath/*.parquet')""",
+    // cross-signal closure: DuckDB recomputes the exact-Jaccard text pairs
+    // from the documents table (the q_d7 scheme), unions the independent
+    // driver-side cosine pair dump, and closes the union transitively
+    "q_d10_cross_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+            SELECT DISTINCT doc_id, substring(text, g, 3) AS s
+            FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS g
+                  FROM documents WHERE length(text) >= 3 AND doc_id < 500)),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          tpairs AS (SELECT a, b FROM inter
+                     JOIN sizes sa ON sa.doc_id = a
+                     JOIN sizes sb ON sb.doc_id = b
+                     WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7),
+          epairs AS (SELECT a, b FROM read_parquet('$LshPairsDumpPath/*.parquet')
+                     WHERE a < 500 AND b < 500),
+          pairs AS (SELECT a, b FROM tpairs UNION SELECT a, b FROM epairs),
+          edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+          reach(u, m) AS (
+            SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+            UNION
+            SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u)
+          SELECT u AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1""",
     // brute-force self-join over the same-kernel simhash dump — independent
     // of the engine's pigeonhole multi-index join (which must have recall 1)
     "q_d4b_simhash_pairs" ->

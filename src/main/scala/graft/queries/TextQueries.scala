@@ -28,10 +28,10 @@ object TextQueries {
   val JaccardPairsDumpPath = "/tmp/graft_oracle/jaccard_pairs.parquet"
   val DedupClustersDumpPath = "/tmp/graft_oracle/dedup_clusters.parquet"
 
-  private def dedupDocs(s: SparkSession, d: String): DataFrame =
+  private[queries] def dedupDocs(s: SparkSession, d: String): DataFrame =
     documents(s, d).where(col("doc_id") < 500)
 
-  private def jaccardPairsDump(s: SparkSession, d: String): DataFrame =
+  private[queries] def jaccardPairsDump(s: SparkSession, d: String): DataFrame =
     GraftQueries.sharedDump(s, JaccardPairsDumpPath, d) { path =>
       implicit val sp: SparkSession = s
       val out = graft.dedup.Dedup.jaccardJoin(dedupDocs(s, d), threshold = 0.7)
