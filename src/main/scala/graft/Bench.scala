@@ -121,7 +121,16 @@ object Bench {
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).count(); None }
+        try {
+          val df = fn(spark, sfDir)
+          df.count()
+          // checkpointed results (the dedup/CC family) hold block-manager
+          // storage until driver GC; the harness is a long-lived session
+          // measuring 69 queries × 2 passes — release eagerly (documented
+          // caller contract of the checkpoint-returning jobs)
+          graft.dedup.Dedup.releaseCheckpoint(df)
+          None
+        }
         catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
       // cache-ownership contract: a query may persist intermediates for
