@@ -419,23 +419,30 @@ object Dedup {
       // 1. neighbor min: the smallest label adjacent to each node
       val nbrMin = edges.join(labels, edges("v") === labels("n"))
         .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
+      // persisted: `stepped` feeds BOTH sides of the pointer-jump self-join
+      // below — un-persisted, the edge join + aggregation ran twice per
+      // round (the same repeated-subtree cost the index probes paid)
       val stepped = labels.join(nbrMin, labels("n") === nbrMin("u"), "left")
-        .select(col("n"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-      // 2. pointer jump: follow each label to its own label (path halving)
+        .select(col("n"), col("lbl").as("old_lbl"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist()
+      // 2. pointer jump: follow each label to its own label (path halving).
+      // The round's PREVIOUS label rides along so convergence is a narrow
+      // filter-count over the checkpointed result — not the two-sided
+      // join-with-old-labels it used to be (one fewer shuffle per round)
       val jumped = stepped.as("s")
         .join(stepped.select(col("n").as("ln"), col("lbl").as("llbl")).as("t"),
           col("s.lbl") === col("t.ln"), "left")
-        .select(col("s.n").as("n"),
+        .select(col("s.n").as("n"), col("s.old_lbl").as("old_lbl"),
           least(col("s.lbl"), coalesce(col("t.llbl"), col("s.lbl"))).as("lbl"))
         .localCheckpoint(true)
-      val changed = jumped.as("a")
-        .join(labels.as("b"), col("a.n") === col("b.n"))
-        .where(col("a.lbl") =!= col("b.lbl")).count()
+      stepped.unpersist()
+      val changed = jumped.where(col("lbl") =!= col("old_lbl")).count()
       // release the superseded round's checkpoint blocks NOW — a long-lived
       // session running many dedup jobs must not accumulate storage memory
       // waiting for driver GC (blocks are otherwise ContextCleaner-owned)
       releaseCheckpoint(labels)
-      labels = jumped
+      labels = jumped.select(col("n"), col("lbl"))
       converged = changed == 0
       round += 1
     }
