@@ -451,6 +451,79 @@ object Dedup {
     labels.select(col("n").as("id"), col("lbl").as("cluster_id"))
   }
 
+  /**
+   * INCREMENTAL cluster maintenance — the arrival-time counterpart of
+   * `connectedComponents`, completing the incremental dedup loop the
+   * persisted indexes start (`LshIndex.probe` / `PhashIndex.probe` give the
+   * new batch's pairs; this folds them into the standing clustering
+   * WITHOUT re-running CC over the corpus):
+   *
+   *   1. PROJECT each new pair endpoint to its cluster representative —
+   *      an old id maps to its current cluster_id (one broadcast-able
+   *      join against the label table keyed by the pair endpoints), a
+   *      batch id to itself.
+   *   2. Run `connectedComponents` on the REPRESENTATIVE graph — nodes
+   *      are the batch ids plus the touched old cluster ids, a relation
+   *      bounded by O(|batch| + |touched clusters|), never the corpus.
+   *   3. APPLY: members of touched clusters re-label via an equi-join on
+   *      cluster_id against the (tiny) remap table; untouched rows pass
+   *      through unchanged; batch ids take their rep's new label.
+   *
+   * Because `connectedComponents` labels a cluster with its MINIMUM member
+   * id, the representative min IS the global min (min over old cluster
+   * minima and batch ids), so the result is bit-identical to re-running CC
+   * over the whole corpus — `incrementalClusters(cc(A), probePairs, B)
+   * == cc(A ∪ B)` (spec'd on random graphs; q_d11 oracles it against the
+   * batch-mode recursive-CTE closure).
+   *
+   * Scale shape: steps 1-2 touch O(batch + touched clusters) rows; step 3
+   * is one join of the label table against a remap relation bounded by the
+   * touched-cluster count (broadcast-able at any realistic dedup rate) —
+   * the whole update is O(dirty), the same posture as the tile store's
+   * dirty-partition commits.
+   *
+   * Input: labels (id, cluster_id) — a TOTAL labeling of the old corpus
+   * (the `connectedComponents` contract); newPairs (a, b) — pairs touching
+   * the batch (both batch-batch and batch-old, e.g. an index probe
+   * result); newIds (id) — the batch's id universe (pairs ⊆ labels ∪
+   * newIds ids, enforced by the inner CC's own guard). Output: updated
+   * total labeling (id, cluster_id) over labels ∪ newIds.
+   */
+  def incrementalClusters(labels: DataFrame, newPairs: DataFrame, newIds: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    val lbl = labels.select(col(labels.columns(0)).as("id"), col(labels.columns(1)).as("cluster_id"))
+    val batch = newIds.select(col(newIds.columns(0)).as("id")).distinct()
+    val pairs = newPairs.select(col(newPairs.columns(0)).as("a"), col(newPairs.columns(1)).as("b"))
+    // 1. endpoint → representative (old: its cluster; batch: itself).
+    //    Batch ids must NOT also appear in labels (probe-before-append
+    //    discipline); an id in both would project ambiguously.
+    def repOf(c: String) = {
+      val keyed = pairs.select(col(c).as("id")).distinct()
+      keyed.join(lbl, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as(s"${c}_rep"))
+    }
+    val projected = pairs
+      .join(repOf("a").withColumnRenamed("id", "a"), Seq("a"))
+      .join(repOf("b").withColumnRenamed("id", "b"), Seq("b"))
+      .select(col("a_rep"), col("b_rep"))
+      .where(col("a_rep") =!= col("b_rep"))
+    // 2. CC over the representative graph. Node universe: batch ids +
+    //    every rep the pairs touch (old cluster ids project to themselves).
+    val repNodes = batch.select(col("id"))
+      .union(projected.select(col("a_rep").as("id")))
+      .union(projected.select(col("b_rep").as("id")))
+      .distinct()
+    val remap = connectedComponents(projected, repNodes)
+      .select(col("id").as("rep"), col("cluster_id").as("new_cluster"))
+    // 3. apply. Old rows re-label only when their cluster rep moved;
+    //    batch rows take their rep's label (their own id when untouched).
+    val oldUpdated = lbl.join(remap, lbl("cluster_id") === remap("rep"), "left")
+      .select(col("id"), coalesce(col("new_cluster"), col("cluster_id")).as("cluster_id"))
+    val newRows = batch.join(remap, batch("id") === remap("rep"), "left")
+      .select(col("id"), coalesce(col("new_cluster"), col("id")).as("cluster_id"))
+    oldUpdated.unionByName(newRows)
+  }
+
   /** Near-dup clusters over the documents table: exact inverted-index
     * Jaccard pairs (`jaccardJoin`) resolved to canonical cluster ids.
     * Docs below the shingle length (excluded from pairing by contract)

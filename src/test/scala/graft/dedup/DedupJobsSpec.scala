@@ -248,6 +248,47 @@ class DedupJobsSpec extends AnyFunSuite {
     assert(got.values.toSet.subsetOf(got.keySet), "cluster ids are member ids")
   }
 
+  test("incrementalClusters(cc(A), probe pairs, B) == cc(A ∪ B) — incremental == batch") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val rnd = new java.util.Random(7)
+    // old corpus 0..149 with random edges; batch 1000..1039 with pairs
+    // touching the batch: batch-batch, batch-old (incl. a chain MERGING two
+    // old clusters through one new node), and none for some (singletons)
+    val oldEdges = Seq.fill(80)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter { case (a, b) => a != b }
+    val batchIds = (1000L until 1040L)
+    val batchEdges =
+      Seq((1000L, 1001L), (1001L, 1002L), // batch-batch chain
+          (5L, 1003L), (1003L, 77L),      // old-new-old bridge (cluster merge)
+          (1004L, 9L), (1005L, 1004L)) ++ // new-old + new-new
+      Seq.fill(30)((batchIds(rnd.nextInt(40)), rnd.nextInt(150).toLong))
+    val oldLabels = Dedup.connectedComponents(
+      oldEdges.toDF("a", "b"), (0L until 150L).toDF("id"))
+    val got = Dedup.incrementalClusters(
+        oldLabels, batchEdges.toDF("a", "b"), batchIds.toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    // oracle: batch-mode CC over the UNION graph
+    val want = Dedup.connectedComponents(
+        (oldEdges ++ batchEdges).toDF("a", "b"),
+        ((0L until 150L) ++ batchIds).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // the bridge actually merged two previously-distinct old clusters
+    // (guard the fixture: the interesting path must have been exercised)
+    val before = oldLabels.as[(Long, Long)].collect().toMap
+    assert(before(5L) != before(77L) || oldEdges.exists { case (a, b) =>
+      Set(a, b) == Set(5L, 77L) }, "fixture: 5 and 77 should start separate")
+    assert(got(5L) === got(77L) && got(5L) === got(1003L))
+    // an edgeless batch is a pure singleton append: nothing relabels
+    val untouched = Dedup.incrementalClusters(
+        oldLabels, Seq.empty[(Long, Long)].toDF("a", "b"),
+        Seq(2000L, 2001L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(untouched.view.filterKeys(_ < 150L).toMap === before)
+    assert(untouched(2000L) === 2000L && untouched(2001L) === 2001L)
+  }
+
   test("applyKeepList keeps exactly one canonical doc per cluster") {
     implicit val s: SparkSession = spark
     import s.implicits._
