@@ -301,12 +301,11 @@ object Dedup {
   /** Release the storage blocks behind a `localCheckpoint(true)`-backed
     * frame: the persisted RDD is the one embedded in the plan's LogicalRDD
     * node (`df.rdd` would build a NEW derived RDD whose unpersist is a
-    * no-op on the checkpoint blocks). Safe on non-checkpointed frames
-    * (no LogicalRDD → nothing to release). */
+    * no-op on the checkpoint blocks). Walks below derived RDDs so
+    * `freshLocalCheckpoint`-wrapped plans release too. Safe on
+    * non-checkpointed frames (no LogicalRDD → nothing to release). */
   def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical.collect {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-    }.foreach(_.unpersist(blocking = false))
+    org.apache.spark.sql.graft.SparkInternals.releaseCheckpointBlocks(df)
 
   /** Blocks of a 64-bit fingerprint split into `n` pieces (the last block
     * takes the remainder bits). Pure kernel for the multi-index join. */
@@ -397,14 +396,22 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, maxRounds: Int = 25)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val edges = pairs.select(col(pairs.columns(0)).as("u"), col(pairs.columns(1)).as("v"))
-      .union(pairs.select(col(pairs.columns(1)).as("u"), col(pairs.columns(0)).as("v")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = nodes.select(col(nodes.columns(0)).as("n"))
-      .distinct()
-      .withColumn("lbl", col("n"))
-      .localCheckpoint(true)
+    // freshLocalCheckpoint, NOT bare localCheckpoint: Spark rewrites the
+    // origin plan's size-in-bytes estimate into every checkpoint node, and
+    // an ITERATED checkpoint→join→checkpoint loop compounds the estimate
+    // geometrically — by round ~10 (or when a caller like
+    // incrementalClusters feeds one CC's output into the next) the driver
+    // burns minutes in BigInteger stats math. Fresh default stats at every
+    // iteration boundary keep estimation O(plan), forever.
+    val fresh = org.apache.spark.sql.graft.SparkInternals.freshLocalCheckpoint _
+    val edges = fresh(
+      pairs.select(col(pairs.columns(0)).as("u"), col(pairs.columns(1)).as("v"))
+        .union(pairs.select(col(pairs.columns(1)).as("u"), col(pairs.columns(0)).as("v")))
+        .distinct())
+    var labels = fresh(
+      nodes.select(col(nodes.columns(0)).as("n"))
+        .distinct()
+        .withColumn("lbl", col("n")))
     // precondition probe: edges (both directions) ⊆ nodes. One extra
     // left-anti join action before round 1 (the expected-empty case scans
     // the edge set once; limit-1 only short-circuits when orphans exist) —
@@ -430,12 +437,11 @@ object Dedup {
       // The round's PREVIOUS label rides along so convergence is a narrow
       // filter-count over the checkpointed result — not the two-sided
       // join-with-old-labels it used to be (one fewer shuffle per round)
-      val jumped = stepped.as("s")
+      val jumped = fresh(stepped.as("s")
         .join(stepped.select(col("n").as("ln"), col("lbl").as("llbl")).as("t"),
           col("s.lbl") === col("t.ln"), "left")
         .select(col("s.n").as("n"), col("s.old_lbl").as("old_lbl"),
-          least(col("s.lbl"), coalesce(col("t.llbl"), col("s.lbl"))).as("lbl"))
-        .localCheckpoint(true)
+          least(col("s.lbl"), coalesce(col("t.llbl"), col("s.lbl"))).as("lbl")))
       stepped.unpersist()
       val changed = jumped.where(col("lbl") =!= col("old_lbl")).count()
       // release the superseded round's checkpoint blocks NOW — a long-lived
