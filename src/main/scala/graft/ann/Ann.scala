@@ -205,6 +205,35 @@ object Ann {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/vectors")
   }
 
+  /** Append a batch to a persisted IVF index with FROZEN centroids — the
+    * arrival-time posture every production IVF runs (centroids are
+    * trained once at build; retraining is a rebuild). New vectors assign
+    * to their nearest existing centroid and append into the list
+    * partition dirs, so a subsequent probe sees built and appended
+    * vectors identically; with frozen centroids the appended table is
+    * bit-equal to assigning the whole corpus at once. Completes the
+    * index-once/probe-many maintenance triad (text `LshIndex.append`,
+    * image `PhashIndex.append`, embeddings here). Like those, each
+    * append adds one file per touched list dir — run `compactIvf`
+    * periodically (same crash-safe two-rename as the dedup indexes). */
+  def appendIvf(newEmb: DataFrame, dir: String)(implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.dedup.IndexFiles.recover(dir, "vectors")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select("list_id", "centroid").as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
+    ivfAssign(newEmb, centroids).join(newEmb, "vec_id")
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$dir/vectors")
+  }
+
+  /** Rewrite the vectors table to one file per list dir (append
+    * fragmentation maintenance; centroids are a single tiny file and
+    * never fragment). */
+  def compactIvf(dir: String)(implicit spark: SparkSession): Unit =
+    graft.dedup.IndexFiles.compactDir(dir, "vectors", partitioned = true,
+      partCol = "list_id")
+
   /** Query a persisted IVF index: read the (tiny) centroid table, pick the
     * query's nProbe nearest lists, then an exact cosine top-k over ONLY
     * those list partitions (the `list_id` filter is a partition filter —
@@ -213,6 +242,7 @@ object Ann {
                      excludeId: Option[Long] = None)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    graft.dedup.IndexFiles.recover(dir, "vectors")
     val centroids = spark.read.parquet(s"$dir/centroids")
       .select("list_id", "centroid").as[(Int, Array[Double])]
       .collect().sortBy(_._1).map(_._2)

@@ -4,20 +4,21 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
 /**
- * Shared file maintenance for the persisted dedup indexes (`LshIndex`,
- * `PhashIndex`): append fragments their hive-partitioned tables one file
- * per touched directory per batch, so probes open ~batches files per
- * directory until a compaction rewrite.
+ * Shared file maintenance for the persisted incremental indexes
+ * (`LshIndex`, `PhashIndex`, `Ann`'s IVF): append fragments their
+ * hive-partitioned tables one file per touched directory per batch, so
+ * probes open ~batches files per directory until a compaction rewrite.
  */
-private[dedup] object IndexFiles {
+private[graft] object IndexFiles {
 
-  /** Rewrite `dir/sub` to one file per `bpb` partition (or one file
+  /** Rewrite `dir/sub` to one file per `partCol` partition (or one file
     * total when unpartitioned). Crash-safe by a two-rename swap: the
     * rewrite stages into `sub.compacting`, then live→`sub.old`,
     * staged→live, backup deleted. A crash between the renames leaves NO
     * live dir plus the `.old` backup, which `recover` rolls back — never
     * a mixed layout. */
-  def compactDir(dir: String, sub: String, partitioned: Boolean)(
+  def compactDir(dir: String, sub: String, partitioned: Boolean,
+                 partCol: String = "bpb")(
       implicit spark: SparkSession): Unit = {
     val live = java.nio.file.Paths.get(dir, sub)
     val tmp = java.nio.file.Paths.get(dir, s"$sub.compacting")
@@ -26,7 +27,7 @@ private[dedup] object IndexFiles {
     graft.stream.StreamDedup.deleteTree(old.toString)
     val df = spark.read.parquet(live.toString)
     val writer =
-      if (partitioned) df.repartition(col("bpb")).write.partitionBy("bpb")
+      if (partitioned) df.repartition(col(partCol)).write.partitionBy(partCol)
       else df.coalesce(1).write
     writer.mode("overwrite").parquet(tmp.toString)
     java.nio.file.Files.move(live, old)

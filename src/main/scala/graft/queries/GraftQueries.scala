@@ -157,6 +157,33 @@ object GraftQueries {
     IvfIndexPath
   }
 
+  /** Persisted IVF index exercising the APPEND path: built over vec_id <
+    * IvfAppendSplit, the rest appended with frozen centroids, compacted.
+    * A full probe (nProbe = nLists) over it is exact, so the oracle is
+    * plain brute-force top-k over the whole table — identical scheme to
+    * q_ann_ivf_indexed, but the engine side went through
+    * build→append→compact instead of one-shot build. */
+  val IvfAppendIndexPath = "/tmp/graft_oracle/ivf_index_append"
+  val IvfAppendSplit = 300L
+  private def ivfAppendIndexDir(s: SparkSession, d: String): String = {
+    implicit val sp: SparkSession = s
+    val marker = java.nio.file.Paths.get(IvfAppendIndexPath + ".source")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == d &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(IvfAppendIndexPath, "vectors", "_SUCCESS"))
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      Ann.buildIvfIndex(embeddings(s, d).where(col("vec_id") < IvfAppendSplit),
+        IvfAppendIndexPath, nLists = 16, iters = 3)
+      Ann.appendIvf(embeddings(s, d).where(col("vec_id") >= IvfAppendSplit),
+        IvfAppendIndexPath)
+      Ann.compactIvf(IvfAppendIndexPath)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, d.getBytes("UTF-8"))
+    }
+    IvfAppendIndexPath
+  }
+
   /** Persisted MinHash-LSH index over documents with doc_id < LshProbeSplit
     * (the "already-indexed corpus"); q_d8 probes the remainder against it.
     * Marker-shared like the IVF index: built once per sf dir. */
@@ -428,6 +455,19 @@ object GraftQueries {
       implicit val sp: SparkSession = s
       import sp.implicits._
       val dir = ivfIndexDir(s, d)
+      val q = embeddings(s, d).where(col("vec_id") === 0L)
+        .select("embedding").as[Array[Float]].head()
+      Ann.ivfTopKIndexed(dir, q, 10, nProbe = 16, excludeId = Some(0L))
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    }),
+
+    // the INCREMENTALLY-MAINTAINED index (build → frozen-centroid append →
+    // compact) must answer exactly like brute force under a full probe —
+    // the embedding analog of q_img_phash_probe / q_d8_lsh_probe
+    "q_ann_ivf_probe" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val dir = ivfAppendIndexDir(s, d)
       val q = embeddings(s, d).where(col("vec_id") === 0L)
         .select("embedding").as[Array[Float]].head()
       Ann.ivfTopKIndexed(dir, q, 10, nProbe = 16, excludeId = Some(0L))
@@ -1009,6 +1049,12 @@ object GraftQueries {
          FROM embeddings WHERE vec_id <> 0
          ORDER BY sim DESC, vec_id LIMIT 10""",
     "q_ann_ivf_indexed" ->
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+         FROM embeddings WHERE vec_id <> 0
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+    // append-path index, full probe ⇒ exact: same brute-force oracle
+    "q_ann_ivf_probe" ->
       """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
          FROM embeddings WHERE vec_id <> 0

@@ -127,6 +127,61 @@ class AnnSpec extends AnyFunSuite {
     assert(parquets <= 16, s"$parquets files for 16 lists")
   }
 
+  test("IVF append: frozen-centroid assignment exact, probe == brute force, compaction + crash window") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val data = vecs(400)
+    val df = data.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    val (built, rest) = (data.filter(_._1 < 250), data.filter(_._1 >= 250))
+    Ann.buildIvfIndex(built.toDF("vec_id", "embedding"), dir, nLists = 16, iters = 3)
+    // two appends (fragmentation is per touched dir per batch)
+    Ann.appendIvf(rest.filter(_._1 < 325).toDF("vec_id", "embedding"), dir)
+    Ann.appendIvf(rest.filter(_._1 >= 325).toDF("vec_id", "embedding"), dir)
+
+    // appended rows land in their nearest FROZEN-centroid list — the
+    // whole table equals a one-shot assignment under the same centroids
+    val frozen = s.read.parquet(s"$dir/centroids")
+      .select("list_id", "centroid").as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
+    val stored = s.read.parquet(s"$dir/vectors")
+      .select("vec_id", "list_id").as[(Long, Int)].collect().toSet
+    val oneShot = Ann.ivfAssign(df, frozen)
+      .select("vec_id", "list_id").as[(Long, Int)].collect().toSet
+    assert(stored === oneShot, "append assignment diverged from one-shot frozen-centroid assignment")
+
+    // full probe over the appended index is exact over the WHOLE corpus
+    val q = data.head._2
+    val want = Ann.bruteForceTopK(df, 0L, 10).as[(Long, Double)].collect()
+    def got(): Seq[Long] =
+      Ann.ivfTopKIndexed(dir, q, 10, nProbe = 16, excludeId = Some(0L))
+        .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(got() === want.map(_._1).toSeq)
+
+    // compaction: strictly fewer files, one per live dir, results unchanged
+    def vecFiles(): Int = {
+      val root = new java.io.File(s"$dir/vectors")
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+        .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    }
+    val filesBefore = vecFiles()
+    Ann.compactIvf(dir)
+    val filesAfter = vecFiles()
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count (before=$filesBefore after=$filesAfter)")
+    val dirsAfter = new java.io.File(s"$dir/vectors").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("list_id="))
+    assert(filesAfter === dirsAfter, "exactly one file per live partition after compaction")
+    assert(got() === want.map(_._1).toSeq, "compaction changed probe results")
+
+    // crash window: live renamed away, .old present — probe must recover
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, "vectors"), java.nio.file.Paths.get(dir, "vectors.old"))
+    assert(got() === want.map(_._1).toSeq, "probe did not roll back a crashed compaction")
+    graft.stream.StreamDedup.deleteTree(dir)
+  }
+
   test("lshClusters == union-find over the engine's own pair relation (embedding keep-list)") {
     implicit val s: SparkSession = spark
     import s.implicits._
