@@ -1,26 +1,38 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc timing for any subset of the SparkEntry catalog: 3 rounds per
-  * query (round 1 pays one-time shared-dump/index costs, later rounds are
-  * the steady state min-of-2 sees in Bench). Usage:
-  *   runMain graft.tools.QueryProbe q_d6_jaccard_join q_d7_dedup_clusters
-  * No args = the whole catalog, one line per query per round. */
+/**
+ * Targeted per-query measurement: run ONLY the named catalog queries
+ * through the bench harness's own protocol (`Bench.measureQueries` —
+ * interleaved passes, cache-cleared, checkpoint-released) without paying
+ * for the other ~70. For isolating a regression suspect or A/B-ing a
+ * plan change on one query.
+ *
+ *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+ *     sbt -batch 'runMain graft.tools.QueryProbe q_img_dedup_clusters q_d7_dedup_clusters [passes]'
+ *
+ * A trailing integer argument sets the pass count (default 3; min is
+ * reported like the bench, all samples printed).
+ */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
-    implicit val spark: SparkSession = graft.spark.Sessions.local(32, "qprobe")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
-    (1 to 3).foreach { round =>
-      names.foreach { name =>
-        val fn = graft.SparkEntry.queries.getOrElse(name,
-          sys.error(s"unknown query $name"))
-        val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        println(f"[qprobe] round=$round $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
-        spark.sharedState.cacheManager.clearCache()
-      }
+    val (names, passes) = args.lastOption.flatMap(_.toIntOption) match {
+      case Some(p) => (args.dropRight(1).toSeq, p)
+      case None => (args.toSeq, 3)
     }
-    spark.stop()
+    require(names.nonEmpty, "usage: QueryProbe <query name>... [passes]")
+    val missing = names.filterNot(graft.SparkEntry.queries.contains)
+    require(missing.isEmpty, s"unknown queries: ${missing.mkString(", ")}")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    implicit val spark: org.apache.spark.sql.SparkSession =
+      graft.spark.Sessions.local(cpus, "query-probe")
+    try {
+      val picked = graft.SparkEntry.queries.view.filterKeys(names.contains).toMap
+      val results = graft.Bench.measureQueries(spark, sfDir, picked, passes = passes)
+      results.foreach { m =>
+        val samples = m.samples.map(_.fold(e => s"err($e)", v => f"$v%.2f")).mkString(", ")
+        println(f"[probe] ${m.name}%-30s min=${m.secs.fold(Double.NaN)(identity)}%6.2f  samples=[$samples]")
+      }
+    } finally spark.stop()
   }
 }

@@ -3,10 +3,14 @@ package org.apache.spark.sql.graft
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.plans.logical.Statistics
+import org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
 
 /**
- * Package bridge for ONE `private[sql]` entry point.
+ * Package bridge for a handful of `private[sql]` entry points.
  *
  * Why it exists: `Dataset.localCheckpoint(eager = true)` builds its
  * `LogicalRDD` through `LogicalRDD.fromDataset`, which REWRITES the origin
@@ -24,26 +28,53 @@ import org.apache.spark.sql.types.StructType
  * (observed: a 10-batch incremental-cluster loop pinned one core for 30+
  * minutes in stats estimation before any real work).
  *
- * `fresh` rebuilds the just-materialized checkpoint as a bare
- * `LogicalRDD` with DEFAULT statistics — same partitions, same rows, zero
- * copies (the `InternalRow` RDD is reused as-is) — resetting the
- * compounding at every iteration boundary. The only `private[sql]` call
- * is `SparkSession.internalCreateDataFrame`, the exact constructor Spark
- * itself uses for internal-row relations.
+ * `freshLocalCheckpoint` rebuilds the just-materialized checkpoint as a
+ * bare `LogicalRDD` whose statistics are the MEASURED byte size of the
+ * persisted blocks — the one moment in a plan's life when size is a fact,
+ * not an estimate. Same partitions, same rows, zero copies (the
+ * `InternalRow` RDD is reused as-is). The estimate chain resets at every
+ * iteration boundary (no compounding, ever) AND downstream join planning
+ * still broadcasts genuinely small checkpoints — inherited estimates
+ * could only guess at both (measured on the CC family: default-stat fresh
+ * checkpoints lost broadcast and cost ~25 % at bench scale; inherited
+ * stats stall the driver after ~10 folds).
  */
 object SparkInternals {
 
   /** `df.localCheckpoint(eager = true)`, then re-wrap the materialized
-    * RDD with fresh (default) statistics. The returned frame's plan is a
-    * single `LogicalRDD` over the checkpoint's partitions. */
+    * RDD as a fresh `LogicalRDD` carrying the checkpoint's measured
+    * storage size as its statistics (default leaf stats if the block
+    * manager has no record, e.g. an empty relation's zero-byte entry —
+    * conservatively huge, never compounding). */
   def freshLocalCheckpoint(df: DataFrame): DataFrame = {
     val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val session = classic.sparkSession
     val cp = classic.localCheckpoint(true)
-    internalFrame(classic.sparkSession, cp.queryExecution.toRdd, cp.schema)
+    val rdd = cp.queryExecution.toRdd
+    val stats = measuredBytes(session, rdd).map(b => Statistics(sizeInBytes = BigInt(b)))
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(cp.schema)
+    org.apache.spark.sql.classic.Dataset.ofRows(session,
+      new LogicalRDD(attrs, rdd, UnknownPartitioning(0), Nil, false, None)(
+        session, stats, None))
   }
 
-  /** Bare internal-row frame with default stats (the `private[sql]`
-    * constructor this object exists to reach). */
+  /** Block-manager byte footprint (mem + disk) of the first persisted RDD
+    * under `rdd` — for an eager local checkpoint, the exact size of the
+    * materialized UnsafeRow blocks. At least 1 so a measured-empty
+    * relation stays broadcastable instead of falling to default stats. */
+  private def measuredBytes(session: org.apache.spark.sql.classic.SparkSession,
+                            rdd: RDD[_]): Option[Long] = {
+    def firstPersisted(r: RDD[_]): Option[RDD[_]] =
+      if (r.getStorageLevel != StorageLevel.NONE) Some(r)
+      else r.dependencies.view.flatMap(d => firstPersisted(d.rdd)).headOption
+    for {
+      p <- firstPersisted(rdd)
+      info <- session.sparkContext.getRDDStorageInfo.find(_.id == p.id)
+    } yield math.max(info.memSize + info.diskSize, 1L)
+  }
+
+  /** Bare internal-row frame with default stats (kept for callers that
+    * WANT the broadcast-hostile conservative estimate). */
   def internalFrame(spark: org.apache.spark.sql.classic.SparkSession,
                     rdd: RDD[InternalRow], schema: StructType): DataFrame =
     spark.internalCreateDataFrame(rdd, schema, isStreaming = false)
@@ -56,11 +87,11 @@ object SparkInternals {
     * chains only; stops at the first persisted RDD per chain. */
   def releaseCheckpointBlocks(df: DataFrame): Unit = {
     def walk(r: RDD[_]): Unit =
-      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      if (r.getStorageLevel != StorageLevel.NONE)
         r.unpersist(blocking = false)
       else r.dependencies.foreach(d => walk(d.rdd))
     df.queryExecution.logical.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      case l: LogicalRDD => l.rdd
     }.foreach(walk)
   }
 }

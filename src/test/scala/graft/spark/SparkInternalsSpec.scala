@@ -6,16 +6,18 @@ import org.apache.spark.sql.graft.SparkInternals
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
- * Pins the two properties `SparkInternals` exists for:
+ * Pins the properties `SparkInternals` exists for:
  *
- * 1. `freshLocalCheckpoint` resets plan statistics. Spark's
- *    `localCheckpoint(eager = true)` rewrites the ORIGIN plan's
- *    size-in-bytes estimate into the checkpoint node, so an iterated
- *    checkpoint→join→checkpoint loop (connected components, any
+ * 1. `freshLocalCheckpoint` resets plan statistics to the MEASURED block
+ *    size. Spark's `localCheckpoint(eager = true)` rewrites the ORIGIN
+ *    plan's size-in-bytes estimate into the checkpoint node, so an
+ *    iterated checkpoint→join→checkpoint loop (connected components, any
  *    incremental fold carrying a label table across batches) compounds
  *    the estimate geometrically until the driver stalls in BigInteger
- *    math. Fresh checkpoints must keep the estimate's magnitude FLAT
- *    across iterations while bare checkpoints grow it.
+ *    math. Fresh checkpoints must stay SMALL and BOUNDED across
+ *    iterations (measured bytes of a ~fixed-size relation) while bare
+ *    checkpoints grow without bound — and, being measured, must keep a
+ *    tiny relation broadcastable where default leaf stats would not.
  *
  * 2. `releaseCheckpointBlocks` finds and unpersists the checkpoint's
  *    storage blocks even when the persisted RDD sits BELOW a derived
@@ -28,7 +30,7 @@ class SparkInternalsSpec extends AnyFunSuite {
   private def sizeBits(df: DataFrame): Int =
     df.queryExecution.optimizedPlan.stats.sizeInBytes.bigInteger.bitLength()
 
-  test("freshLocalCheckpoint: same rows, flat stats across an iterated join loop") {
+  test("freshLocalCheckpoint: same rows, measured + bounded stats across an iterated join loop") {
     import spark.implicits._
     val base = spark.range(0, 64).select(col("id"), (col("id") % 8).as("k"))
 
@@ -52,17 +54,29 @@ class SparkInternalsSpec extends AnyFunSuite {
     // inherited stats compound: strictly growing magnitude round over round
     assert(bareSeq.zip(bareSeq.tail).forall { case (x, y) => y > x },
       s"expected compounding inherited stats, got $bareSeq")
-    // fresh stats stay at the default leaf estimate (a LARGE constant —
-    // Long.MaxValue-sized, deliberately broadcast-hostile): flat across
-    // rounds is the property; compounding inherited stats pass ANY
-    // constant eventually
-    assert(freshSeq.distinct.size === 1, s"expected flat fresh stats, got $freshSeq")
+    // measured stats stay small and bounded: an 8-row relation is a few
+    // hundred bytes every round, never the default Long.MaxValue leaf
+    // estimate (63 bits) and never the compounding inherited one
+    assert(freshSeq.forall(_ < 32), s"expected measured (small) fresh stats, got $freshSeq bits")
+    assert(freshSeq.max - freshSeq.min <= 2,
+      s"expected ~constant measured stats across rounds, got $freshSeq")
     // and both loops still compute the same relation
     val a = bare.as[(Long, Long)].collect().toSet
     val b = freshDf.as[(Long, Long)].collect().toSet
     assert(a === b)
     SparkInternals.releaseCheckpointBlocks(bare)
     SparkInternals.releaseCheckpointBlocks(freshDf)
+  }
+
+  test("freshLocalCheckpoint: a small checkpoint still broadcasts downstream") {
+    import spark.implicits._
+    val small = SparkInternals.freshLocalCheckpoint(
+      spark.range(0, 100).select(col("id"), (col("id") % 10).as("k")))
+    val big = spark.range(0, 10000).select((col("id") % 100).as("k"), col("id").as("v"))
+    val plan = big.join(small, "k").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"measured-stat checkpoint should broadcast:\n${plan.take(1500)}")
+    SparkInternals.releaseCheckpointBlocks(small)
   }
 
   test("releaseCheckpointBlocks: unpersists blocks below the derived leaf RDD") {
