@@ -1,0 +1,123 @@
+package graft.dedup
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The resumable dedup service vs batch mode: at every committed point the
+ * standing labels must equal batch-mode clustering of everything below
+ * the cursor, across incremental arrival, restarts, and injected
+ * crashes. Uncapped so the identity is unconditional (cap semantics have
+ * their own oracles).
+ */
+class DedupServiceSpec extends AnyFunSuite {
+  private implicit lazy val spark: SparkSession = graft.spark.Sessions.local(4, "dedup-service-spec")
+
+  private val sf = "/root/testdata/sf0.001"
+  private val noCap = Int.MaxValue
+
+  // a 60-doc universe keeps the multi-batch runs fast; ids stay dense 0..59
+  private def docs = graft.queries.Tables.documents(spark, sf)
+    .where(col("doc_id") < 60).select("doc_id", "text")
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    import spark.implicits._
+    df.select(col(df.columns(0)), col(df.columns(1))).as[(Long, Long)].collect().toMap
+  }
+
+  private def batchModeLabels(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    labelMap(Dedup.connectedComponents(
+      Dedup.minhashNearDups(d, threshold = 0.8, bands = 8, maxBucket = noCap).select("a", "b"),
+      d.select("doc_id")))
+
+  private def tmpState(): String =
+    java.nio.file.Files.createTempDirectory("dedup-service").toString
+
+  test("multi-batch run == batch mode; re-run is a committed no-op") {
+    val state = tmpState()
+    try {
+      val n = docs.count()
+      val head = DedupService.run(docs, state, batchSize = 20,
+        threshold = 0.8, bands = 8, maxBucket = noCap)
+      assert(head.cursor === docs.agg(max("doc_id")).head().getLong(0) + 1)
+      assert(head.version === (n + 19) / 20, "one version per non-empty batch")
+      val got = labelMap(DedupService.labels(state))
+      assert(got === batchModeLabels(docs))
+      // resume no-op: identical head, identical labels
+      val again = DedupService.run(docs, state, batchSize = 20,
+        threshold = 0.8, bands = 8, maxBucket = noCap)
+      assert(again === head)
+      assert(labelMap(DedupService.labels(state)) === got)
+      // retention: only the last 2 label versions live
+      val live = new java.io.File(s"$state/labels").listFiles().map(_.getName).sorted
+      assert(live.toSeq === Seq(s"v${head.version - 1}", s"v${head.version}"))
+    } finally graft.stream.StreamDedup.deleteTree(state)
+  }
+
+  test("incremental arrival: draining the tail equals one-shot batch mode") {
+    val state = tmpState()
+    try {
+      val half = docs.where(col("doc_id") < 25)
+      val h1 = DedupService.run(half, state, batchSize = 10,
+        threshold = 0.8, bands = 8, maxBucket = noCap)
+      assert(labelMap(DedupService.labels(state)) === batchModeLabels(half))
+      val h2 = DedupService.run(docs, state, batchSize = 10,
+        threshold = 0.8, bands = 8, maxBucket = noCap)
+      assert(h2.version > h1.version)
+      assert(labelMap(DedupService.labels(state)) === batchModeLabels(docs))
+    } finally graft.stream.StreamDedup.deleteTree(state)
+  }
+
+  test("crash between append and commit: recovery excises the batch, resume converges") {
+    val state = tmpState()
+    try {
+      val half = docs.where(col("doc_id") < 25)
+      DedupService.run(half, state, batchSize = 25,
+        threshold = 0.8, bands = 8, maxBucket = noCap)
+      val head = DedupService.readHead(state)
+      // simulate a crash mid-batch: INFLIGHT written, the next batch
+      // ALREADY appended to the index, an orphan labels version on disk,
+      // but HEAD never moved
+      val tail = docs.where(col("doc_id") >= 25 && col("doc_id") < 40)
+      java.nio.file.Files.write(java.nio.file.Paths.get(state, "INFLIGHT"),
+        head.cursor.toString.getBytes("UTF-8"))
+      LshIndex.append(tail, s"$state/index", bands = 8)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(state, "labels", s"v${head.version + 1}"))
+      // resume must excise the half-applied batch and still converge
+      DedupService.run(docs, state, batchSize = 25,
+        threshold = 0.8, bands = 8, maxBucket = noCap)
+      assert(labelMap(DedupService.labels(state)) === batchModeLabels(docs))
+    } finally graft.stream.StreamDedup.deleteTree(state)
+  }
+
+  test("crash during the very first build: state resets, run completes") {
+    val state = tmpState()
+    try {
+      val some = docs.where(col("doc_id") < 30)
+      // partial first build on disk + INFLIGHT, HEAD never written
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(state, "labels"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(state, "INFLIGHT"),
+        "0".getBytes("UTF-8"))
+      LshIndex.build(some, s"$state/index", bands = 8)
+      DedupService.run(docs, state, batchSize = 50,
+        threshold = 0.8, bands = 8, maxBucket = noCap)
+      assert(labelMap(DedupService.labels(state)) === batchModeLabels(docs))
+    } finally graft.stream.StreamDedup.deleteTree(state)
+  }
+
+  test("empty id ranges advance the cursor without a version bump") {
+    val state = tmpState()
+    try {
+      // ids 0..49 with a hole: only ids >= 30 in the second half
+      val sparse = docs.where(col("doc_id") < 10 || col("doc_id") >= 30)
+      DedupService.run(sparse, state, batchSize = 10,
+        threshold = 0.8, bands = 8, maxBucket = noCap)
+      assert(labelMap(DedupService.labels(state)) === batchModeLabels(sparse))
+      val head = DedupService.readHead(state)
+      assert(head.version === 4, "4 non-empty batches -> 4 versions, empty ranges mint none")
+      assert(head.cursor === sparse.agg(max("doc_id")).head().getLong(0) + 1)
+    } finally graft.stream.StreamDedup.deleteTree(state)
+  }
+}
