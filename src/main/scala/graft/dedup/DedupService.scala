@@ -1,6 +1,6 @@
 package graft.dedup
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -64,11 +64,8 @@ object DedupService {
     }
   }
 
-  private def writeAtomic(path: java.nio.file.Path, content: String): Unit = {
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    Files.write(tmp, content.getBytes("UTF-8"))
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeAtomic(path: java.nio.file.Path, content: String): Unit =
+    graft.io.AtomicWrite.write(path, content)
 
   /** Current committed labels (id, cluster_id); empty-schema frame before
     * the first commit. */
@@ -107,60 +104,85 @@ object DedupService {
   }
 
   /** Process every pending batch of `docs` (id-range batching from the
-    * committed cursor; `docs` needs columns (doc_id, text)). Returns the
-    * committed head after draining. Re-invoking with the same inputs is a
-    * no-op; invoking after new documents arrive processes only the tail. */
+    * committed cursor; `docs` needs columns (doc_id, text); arrival
+    * contract: ids are assigned monotonically — a document with an id
+    * below the committed cursor arrived "in the past" and is never
+    * (re)processed). Returns the committed head after draining.
+    * Re-invoking with the same inputs is a no-op; invoking after new
+    * documents arrive processes only the tail. `compactEvery` compacts
+    * the index after every Nth committed version (0 = never) — appends
+    * fragment one file per touched directory per batch, so a resident
+    * service compacts periodically like any LSM-ish index. */
   def run(docs: DataFrame, stateDir: String, batchSize: Long,
           threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 8,
-          maxBucket: Int = Int.MaxValue, keepLabelVersions: Int = 2)(
+          maxBucket: Int = Int.MaxValue, keepLabelVersions: Int = 2,
+          compactEvery: Int = 0)(
       implicit spark: SparkSession): Head = {
     require(batchSize > 0, "batchSize must be positive")
     Files.createDirectories(Paths.get(stateDir, "labels"))
     recover(stateDir)
     var head = readHead(stateDir)
-    val maxIdRow = docs.agg(max(col("doc_id"))).head()
+    val maxIdRow = docs.agg(max(col("doc_id")), min(col("doc_id"))).head()
     if (maxIdRow.isNullAt(0)) return head // nothing to do
     val maxId = maxIdRow.getLong(0)
-    require(head.cursor > 0 || docs.agg(min(col("doc_id"))).head().getLong(0) >= 0L,
+    require(maxIdRow.getLong(1) >= 0L,
       "doc_id must be non-negative (id-range batching from 0)")
+    require(maxId < Long.MaxValue - batchSize,
+      s"doc_id $maxId too close to Long.MaxValue for batchSize $batchSize (cursor overflow)")
     val idx = indexDir(stateDir)
-    val fresh = org.apache.spark.sql.graft.SparkInternals.freshLocalCheckpoint _
     while (head.cursor <= maxId) {
+      // skip straight to the next existing id — sparse id spaces (holes,
+      // snowflake-style ids) must cost one aggregation, not
+      // gap/batchSize empty-range iterations
+      val nextRow = docs.where(col("doc_id") >= head.cursor)
+        .agg(min(col("doc_id"))).head()
+      if (nextRow.isNullAt(0)) return head
+      val start = nextRow.getLong(0)
+      if (start > head.cursor) {
+        // cursor jump over the hole: no version bump, no mutation
+        writeAtomic(headFile(stateDir), s"${head.version} $start")
+        head = Head(head.version, start)
+      }
       val batch = docs
         .where(col("doc_id") >= head.cursor && col("doc_id") < head.cursor + batchSize)
         .select("doc_id", "text")
       val newCursor = math.min(head.cursor + batchSize, maxId + 1)
-      if (batch.isEmpty) {
-        // empty id range: advance the cursor, no version bump, no mutation
-        writeAtomic(headFile(stateDir), s"${head.version} $newCursor")
-        head = Head(head.version, newCursor)
-      } else {
-        writeAtomic(inflightFile(stateDir), head.cursor.toString)
-        val built = Files.exists(Paths.get(idx, "bands"))
-        val next =
-          if (!built) {
-            // first non-empty batch: build the index, cluster internally
-            LshIndex.build(batch, idx, numHashes, bands)
-            fresh(Dedup.connectedComponents(
-              Dedup.minhashNearDups(batch, threshold, numHashes, bands, maxBucket)
-                .select("a", "b"),
-              batch.select("doc_id")))
-          } else {
-            // probe BEFORE append (probe materializes eagerly); then fold
-            val pairs = LshIndex.probe(idx, batch, threshold, numHashes, bands, maxBucket)
-            LshIndex.append(batch, idx, numHashes, bands)
-            fresh(Dedup.incrementalClusters(labels(stateDir), pairs.select("a", "b"),
-              batch.select("doc_id")))
-          }
-        next.write.mode("overwrite").parquet(labelsDir(stateDir, head.version + 1).toString)
-        Dedup.releaseCheckpoint(next)
-        writeAtomic(headFile(stateDir), s"${head.version + 1} $newCursor") // commit point
-        Files.delete(inflightFile(stateDir))
-        // retention, after the commit (old versions are unreferenced)
-        val drop = head.version + 1 - keepLabelVersions
-        if (drop >= 1) graft.stream.StreamDedup.deleteTree(labelsDir(stateDir, drop).toString)
-        head = Head(head.version + 1, newCursor)
-      }
+      writeAtomic(inflightFile(stateDir), head.cursor.toString)
+      val built = Files.exists(Paths.get(idx, "bands"))
+      val next =
+        if (!built) {
+          // first non-empty batch: build the index, cluster internally.
+          // CC's output is already checkpoint-backed with measured stats
+          LshIndex.build(batch, idx, numHashes, bands)
+          Dedup.connectedComponents(
+            Dedup.minhashNearDups(batch, threshold, numHashes, bands, maxBucket)
+              .select("a", "b"),
+            batch.select("doc_id"))
+        } else {
+          // probe BEFORE append (probe materializes eagerly); then fold
+          val pairs = LshIndex.probe(idx, batch, threshold, numHashes, bands, maxBucket)
+          LshIndex.append(batch, idx, numHashes, bands)
+          Dedup.incrementalClusters(labels(stateDir), pairs.select("a", "b"),
+            batch.select("doc_id"))
+        }
+      next.write.mode("overwrite").parquet(labelsDir(stateDir, head.version + 1).toString)
+      // the write materialized the plan; release every checkpoint block
+      // it leans on (CC's labels, the fold's remap, the probe's pairs) —
+      // a resident service must not accumulate storage across batches
+      Dedup.releaseCheckpoint(next)
+      writeAtomic(headFile(stateDir), s"${head.version + 1} $newCursor") // commit point
+      Files.delete(inflightFile(stateDir))
+      // retention, after the commit (old versions are unreferenced).
+      // Sweep EVERY version at-or-below the floor, not just one — a crash
+      // between the commit and this delete must not strand a version
+      val floor = head.version + 1 - keepLabelVersions
+      Option(Paths.get(stateDir, "labels").toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("v") &&
+          f.getName.drop(1).toLongOption.exists(_ <= floor))
+        .foreach(f => graft.stream.StreamDedup.deleteTree(f.getPath))
+      head = Head(head.version + 1, newCursor)
+      if (compactEvery > 0 && head.version % compactEvery == 0)
+        LshIndex.compact(idx)
     }
     head
   }

@@ -152,11 +152,8 @@ class TileStore(root: String)(implicit spark: SparkSession) {
   /** Record that everything up to `version` has been exported (atomic;
     * written AFTER the tile files land, so a crash mid-export re-exports —
     * idempotent, the rewrite is byte-identical). */
-  def markExported(version: Long): Unit = {
-    val tmp = rootPath.resolve("EXPORTED.tmp")
-    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, exportedFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def markExported(version: Long): Unit =
+    AtomicWrite.write(exportedFile, version.toString)
 
   /** Union of the dirty z14 tile sets of every committed batch with
     * `sinceVersion < version <= HEAD` (from the commit lineage — bounded by
@@ -455,9 +452,7 @@ class TileStore(root: String)(implicit spark: SparkSession) {
         s""""relations": {${(fullMetrics ++ partialMetrics).mkString(", ")}}}"""
     Files.write(commitsFile, (record + "\n").getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    val tmp = rootPath.resolve("HEAD.tmp")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, headFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    AtomicWrite.write(headFile, next.toString)
     next
   }
 }

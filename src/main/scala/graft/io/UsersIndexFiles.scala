@@ -76,10 +76,7 @@ object UsersIndexFiles {
         else Seq.empty
       if (!existing.contains(userId.toString)) {
         val lines = (existing :+ userId.toString).mkString("", "\n", "\n")
-        val tmp = d.resolve(s".$ty.users.tmp")
-        Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        AtomicWrite.writeVia(d.resolve(s".$ty.users.tmp"), f, lines)
       }
     }
 

@@ -57,11 +57,11 @@ object LshLoopProbe {
         docs.where(col("doc_id") < batchSize), threshold = 0.8, bands = 8, maxBucket = noCap))
       // freshLocalCheckpoint: per-batch labels re-checkpoint in a LOOP —
       // inherited stats would compound geometrically across batches (see
-      // SparkInternals)
+      // SparkInternals). CC's own output is already checkpoint-backed.
       val freshCp = org.apache.spark.sql.graft.SparkInternals.freshLocalCheckpoint _
-      var labels = freshCp(graft.dedup.Dedup.connectedComponents(
+      var labels = graft.dedup.Dedup.connectedComponents(
           spark.createDataset(inBatch0.toSeq).toDF("a", "b"),
-          docs.where(col("doc_id") < batchSize).select("doc_id")))
+          docs.where(col("doc_id") < batchSize).select("doc_id"))
       val probed = scala.collection.mutable.Set.empty[(Long, Long)]
       val secs = (1 until nBatches).map { b =>
         val batch = docs.where(col("doc_id") >= b * batchSize && col("doc_id") < (b + 1) * batchSize)
@@ -74,13 +74,16 @@ object LshLoopProbe {
         graft.dedup.LshIndex.append(batch, dir, bands = 8)
         val appendSec = (System.nanoTime() - ta) / 1e9
         // fold the batch into the standing clustering (checkpointed per
-        // batch so lineage stays flat; superseded blocks released eagerly)
+        // batch so lineage stays flat; superseded blocks — the previous
+        // labels AND the fold's internal remap checkpoint — released
+        // eagerly once the fresh checkpoint has materialized)
         val tc0 = System.nanoTime()
-        val next = freshCp(graft.dedup.Dedup.incrementalClusters(labels,
+        val inner = graft.dedup.Dedup.incrementalClusters(labels,
             spark.createDataset(pairs.toSeq).toDF("a", "b"),
-            batch.select("doc_id")))
+            batch.select("doc_id"))
+        val next = freshCp(inner)
         val foldSec = (System.nanoTime() - tc0) / 1e9
-        graft.dedup.Dedup.releaseCheckpoint(labels)
+        graft.dedup.Dedup.releaseCheckpoint(inner) // remap + superseded labels
         labels = next
         probed ++= pairs
         println(f"[lsh-loop] batch=$b indexed=${b * batchSize} probe_sec=$probeSec%.2f " +

@@ -44,9 +44,11 @@ object PhashLoopProbe {
         df.select("a", "b").as[(Long, Long)].collect().toSet
       val inBatch0 = pairSet(
         graft.dedup.Dedup.phashNearDups(batchOf(0), maxDist = 3, maxBucket = noCap))
+      // CC's own output is already checkpoint-backed; freshCp only wraps
+      // the per-batch folds (whose plans would otherwise accumulate)
       val freshCp = org.apache.spark.sql.graft.SparkInternals.freshLocalCheckpoint _
-      var labels = freshCp(graft.dedup.Dedup.connectedComponents(
-        spark.createDataset(inBatch0.toSeq).toDF("a", "b"), batchOf(0).select("id")))
+      var labels = graft.dedup.Dedup.connectedComponents(
+        spark.createDataset(inBatch0.toSeq).toDF("a", "b"), batchOf(0).select("id"))
       val probed = scala.collection.mutable.Set.empty[(Long, Long)]
       val secs = (1 until nBatches).map { b =>
         val batch = batchOf(b)
@@ -58,10 +60,11 @@ object PhashLoopProbe {
         graft.dedup.PhashIndex.append(batch, dir, maxDist = 3)
         val appendSec = (System.nanoTime() - ta) / 1e9
         val tc0 = System.nanoTime()
-        val next = freshCp(graft.dedup.Dedup.incrementalClusters(labels,
-          spark.createDataset(pairs.toSeq).toDF("a", "b"), batch.select("id")))
+        val inner = graft.dedup.Dedup.incrementalClusters(labels,
+          spark.createDataset(pairs.toSeq).toDF("a", "b"), batch.select("id"))
+        val next = freshCp(inner)
         val foldSec = (System.nanoTime() - tc0) / 1e9
-        graft.dedup.Dedup.releaseCheckpoint(labels)
+        graft.dedup.Dedup.releaseCheckpoint(inner) // remap + superseded labels
         labels = next
         probed ++= pairs
         println(f"[phash-loop] batch=$b indexed=${b * n / nBatches} probe_sec=$probeSec%.2f " +

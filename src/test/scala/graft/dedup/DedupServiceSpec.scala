@@ -107,6 +107,33 @@ class DedupServiceSpec extends AnyFunSuite {
     } finally graft.stream.StreamDedup.deleteTree(state)
   }
 
+  test("far-sparse ids (snowflake-style): the cursor jumps the hole in one step") {
+    val state = tmpState()
+    try {
+      // ids 0..9 then a 10^9 gap — per-empty-range iteration would hang
+      val near = docs.where(col("doc_id") < 10)
+      val far = near.union(near.withColumn("doc_id", col("doc_id") + 1000000000L)
+        .select("doc_id", "text"))
+      val head = DedupService.run(far, state, batchSize = 10,
+        threshold = 0.8, bands = 8, maxBucket = noCap)
+      assert(head.version === 2, "two non-empty batches across the gap")
+      assert(labelMap(DedupService.labels(state)) === batchModeLabels(far))
+    } finally graft.stream.StreamDedup.deleteTree(state)
+  }
+
+  test("compactEvery: index compaction between batches changes nothing but the file count") {
+    val state = tmpState()
+    try {
+      DedupService.run(docs, state, batchSize = 20,
+        threshold = 0.8, bands = 8, maxBucket = noCap, compactEvery = 1)
+      assert(labelMap(DedupService.labels(state)) === batchModeLabels(docs))
+      val bandsRoot = new java.io.File(s"$state/index/bands")
+      val dirs = bandsRoot.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bpb="))
+      val files = dirs.map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+      assert(files === dirs.length, "exactly one file per live partition after compaction")
+    } finally graft.stream.StreamDedup.deleteTree(state)
+  }
+
   test("empty id ranges advance the cursor without a version bump") {
     val state = tmpState()
     try {
