@@ -187,14 +187,15 @@ object DedupService {
     head
   }
 
-  /** sbt -batch 'runMain graft.dedup.DedupService <sfDir> <stateDir> [batchSize]' */
+  /** sbt -batch 'runMain graft.dedup.DedupService <sfDir> <stateDir> [batchSize] [compactEvery]' */
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: DedupService <sfDir> <stateDir> [batchSize]")
+    require(args.length >= 2, "usage: DedupService <sfDir> <stateDir> [batchSize] [compactEvery]")
     implicit val spark: SparkSession = graft.spark.Sessions.local(32, "dedup-service")
     try {
       val docs = graft.queries.Tables.documents(spark, args(0)).select("doc_id", "text")
       val batchSize = if (args.length > 2) args(2).toLong else 500L
-      val head = run(docs, args(1), batchSize)
+      val compactEvery = if (args.length > 3) args(3).toInt else 0
+      val head = run(docs, args(1), batchSize, compactEvery = compactEvery)
       val lbl = labels(args(1))
       val kept = lbl.where(col("id") === col("cluster_id")).count()
       println(s"[dedup-service] head=v${head.version} cursor=${head.cursor} " +
