@@ -188,14 +188,35 @@ object Ann {
       .limit(k)
   }
 
+  private def nListsFile(dir: String) = java.nio.file.Paths.get(dir, "NLISTS")
+
+  /** Build-parameter guard (the LshIndex PARAMS / PhashIndex MAXDIST
+    * pattern): NLISTS is written LAST at build, so a crashed build — or a
+    * rebuilt-centroids dir swapped under a live reader — reads as "no
+    * complete index" / "layout mismatch" instead of silently assigning
+    * appends against centroids the vectors table wasn't partitioned by. */
+  private def checkNLists(dir: String, found: Int): Unit = {
+    require(java.nio.file.Files.exists(nListsFile(dir)),
+      s"no complete IVF index at $dir (NLISTS missing — build writes it last, " +
+        "so a crashed build reads as absent, not as a usable index)")
+    val stored = new String(
+      java.nio.file.Files.readAllBytes(nListsFile(dir)), "UTF-8").trim.toInt
+    require(stored == found,
+      s"IVF index at $dir declares nLists=$stored but its centroid table has " +
+        s"$found rows — the centroids were swapped under the vectors table; " +
+        "rebuild the index as one unit")
+  }
+
   /** Build and PERSIST the IVF index: a tiny centroid table plus the
     * vector table hive-partitioned by `list_id` — the index-once / query-
     * many shape. At cluster scale the list id is the physical partition
     * key, so a probe's scan is bounded by nProbe directories (directory
-    * pruning), ~nProbe/nLists of the table, regardless of total size. */
+    * pruning), ~nProbe/nLists of the table, regardless of total size.
+    * Writes NLISTS last — the completion marker append/probe verify. */
   def buildIvfIndex(emb: DataFrame, dir: String, nLists: Int = 16, iters: Int = 3)(
       implicit spark: SparkSession): Unit = {
     import spark.implicits._
+    java.nio.file.Files.deleteIfExists(nListsFile(dir))
     val centroids = ivfCentroids(emb, nLists, iters)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("list_id", "centroid")
@@ -203,6 +224,7 @@ object Ann {
     ivfAssign(emb, centroids).join(emb, "vec_id")
       .repartition(col("list_id")) // one file per list dir
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/vectors")
+    java.nio.file.Files.write(nListsFile(dir), nLists.toString.getBytes("UTF-8"))
   }
 
   /** Append a batch to a persisted IVF index with FROZEN centroids — the
@@ -215,13 +237,21 @@ object Ann {
     * index-once/probe-many maintenance triad (text `LshIndex.append`,
     * image `PhashIndex.append`, embeddings here). Like those, each
     * append adds one file per touched list dir — run `compactIvf`
-    * periodically (same crash-safe two-rename as the dedup indexes). */
+    * periodically (same crash-safe two-rename as the dedup indexes).
+    *
+    * CONTRACT — this method alone is neither atomic nor idempotent: a
+    * crash mid-append leaves a partially visible batch, and re-invoking
+    * after a failure duplicates vec_ids (mode "append", no marker).
+    * `graft.ann.IvfService` brackets it with the INFLIGHT/HEAD commit +
+    * crash-excision machinery the dedup indexes use — a resident service
+    * appends through IT, never through this method directly. */
   def appendIvf(newEmb: DataFrame, dir: String)(implicit spark: SparkSession): Unit = {
     import spark.implicits._
     graft.dedup.IndexFiles.recover(dir, "vectors")
     val centroids = spark.read.parquet(s"$dir/centroids")
       .select("list_id", "centroid").as[(Int, Array[Double])]
       .collect().sortBy(_._1).map(_._2)
+    checkNLists(dir, centroids.length)
     ivfAssign(newEmb, centroids).join(newEmb, "vec_id")
       .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(s"$dir/vectors")
@@ -246,6 +276,7 @@ object Ann {
     val centroids = spark.read.parquet(s"$dir/centroids")
       .select("list_id", "centroid").as[(Int, Array[Double])]
       .collect().sortBy(_._1).map(_._2)
+    checkNLists(dir, centroids.length)
     val probes = centroids.indices
       .sortBy(c => -cosineKernel(query, centroids(c))).take(nProbe)
     val qDf = Seq(query.map(_.toDouble)).toDF("q_emb")

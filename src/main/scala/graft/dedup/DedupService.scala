@@ -119,6 +119,9 @@ object DedupService {
           compactEvery: Int = 0)(
       implicit spark: SparkSession): Head = {
     require(batchSize > 0, "batchSize must be positive")
+    // <= 0 would compute a retention floor of head.version + 1 and delete
+    // the labels version HEAD was just committed to (labels() then fails)
+    require(keepLabelVersions >= 1, "keepLabelVersions must be >= 1")
     Files.createDirectories(Paths.get(stateDir, "labels"))
     recover(stateDir)
     var head = readHead(stateDir)
@@ -149,27 +152,31 @@ object DedupService {
       val newCursor = math.min(head.cursor + batchSize, maxId + 1)
       writeAtomic(inflightFile(stateDir), head.cursor.toString)
       val built = Files.exists(Paths.get(idx, "bands"))
-      val next =
+      val (next, batchPairs) =
         if (!built) {
           // first non-empty batch: build the index, cluster internally.
           // CC's output is already checkpoint-backed with measured stats
           LshIndex.build(batch, idx, numHashes, bands)
-          Dedup.connectedComponents(
-            Dedup.minhashNearDups(batch, threshold, numHashes, bands, maxBucket)
-              .select("a", "b"),
-            batch.select("doc_id"))
+          val pairs = Dedup.minhashNearDups(batch, threshold, numHashes, bands, maxBucket)
+          (Dedup.connectedComponents(pairs.select("a", "b"), batch.select("doc_id")),
+            pairs)
         } else {
           // probe BEFORE append (probe materializes eagerly); then fold
           val pairs = LshIndex.probe(idx, batch, threshold, numHashes, bands, maxBucket)
           LshIndex.append(batch, idx, numHashes, bands)
-          Dedup.incrementalClusters(labels(stateDir), pairs.select("a", "b"),
-            batch.select("doc_id"))
+          (Dedup.incrementalClusters(labels(stateDir), pairs.select("a", "b"),
+            batch.select("doc_id")), pairs)
         }
       next.write.mode("overwrite").parquet(labelsDir(stateDir, head.version + 1).toString)
-      // the write materialized the plan; release every checkpoint block
-      // it leans on (CC's labels, the fold's remap, the probe's pairs) —
-      // a resident service must not accumulate storage across batches
+      // the write materialized the plan; release the blocks it leans on.
+      // TWO releases, because CC severs lineage: `next` is a fresh
+      // LogicalRDD whose release frees the fold's (or CC's) own
+      // checkpoint, while the probe's (or minhashNearDups') pairs hold an
+      // INDEPENDENT checkpoint that is NOT in next's plan — absent its own
+      // release it would linger until ContextCleaner GC, accumulating
+      // storage across a resident service's batches
       Dedup.releaseCheckpoint(next)
+      Dedup.releaseCheckpoint(batchPairs)
       writeAtomic(headFile(stateDir), s"${head.version + 1} $newCursor") // commit point
       Files.delete(inflightFile(stateDir))
       // retention, after the commit (old versions are unreferenced).
@@ -187,10 +194,13 @@ object DedupService {
     head
   }
 
-  /** sbt -batch 'runMain graft.dedup.DedupService <sfDir> <stateDir> [batchSize] [compactEvery]' */
+  /** sbt -batch 'runMain graft.dedup.DedupService <sfDir> <stateDir> [batchSize] [compactEvery]'
+    * Parallelism follows SPARK_GRAFT_CPUS (default 32) like Bench /
+    * ServiceMain, so service drives use the protocol's parallelism. */
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: DedupService <sfDir> <stateDir> [batchSize] [compactEvery]")
-    implicit val spark: SparkSession = graft.spark.Sessions.local(32, "dedup-service")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    implicit val spark: SparkSession = graft.spark.Sessions.local(cpus, "dedup-service")
     try {
       val docs = graft.queries.Tables.documents(spark, args(0)).select("doc_id", "text")
       val batchSize = if (args.length > 2) args(2).toLong else 500L

@@ -40,6 +40,29 @@ object LshIndex {
     * directories in a single filter. 8 bands × 16 prefixes = 128 dirs. */
   val PrefixBuckets = 16
 
+  private def paramsFile(dir: String) = java.nio.file.Paths.get(dir, "PARAMS")
+
+  /** Build-parameter guard — the PhashIndex MAXDIST pattern applied to the
+    * LSH layout: a probe/append called with different `numHashes`/`bands`
+    * than the build computes DISJOINT bucket keys and silently returns
+    * missing pairs (recall collapses with no error). `build` writes the
+    * parameters LAST, so a crashed build reads as "no index", never as a
+    * usable one; probe/append fail loudly on any mismatch. */
+  private def checkParams(dir: String, numHashes: Int, bands: Int): Unit = {
+    require(java.nio.file.Files.exists(paramsFile(dir)),
+      s"no complete LSH index at $dir (PARAMS missing — build writes it last, " +
+        "so a crashed build reads as absent, not as a usable index)")
+    val stored = new String(
+      java.nio.file.Files.readAllBytes(paramsFile(dir)), "UTF-8").trim.split("\\s+")
+    require(stored.length == 3 &&
+        stored(0).toInt == numHashes && stored(1).toInt == bands &&
+        stored(2).toInt == PrefixBuckets,
+      s"index at $dir was built with (numHashes, bands, prefixBuckets) = " +
+        s"(${stored.mkString(", ")}); probe/append at ($numHashes, $bands, " +
+        s"$PrefixBuckets) would compute disjoint bucket keys and silently " +
+        "miss pairs — rebuild or match the parameters")
+  }
+
   def bpbCol(band: org.apache.spark.sql.Column, bucket: org.apache.spark.sql.Column) =
     (band * PrefixBuckets + pmod(bucket, lit(PrefixBuckets.toLong)).cast("int")).as("bpb")
 
@@ -90,18 +113,25 @@ object LshIndex {
     prepared.unpersist()
   }
 
-  /** Build the index over `docs` (overwrites `dir`). */
+  /** Build the index over `docs` (overwrites `dir`). Writes PARAMS last —
+    * the completion marker probe/append verify against. */
   def build(docs: DataFrame, dir: String, numHashes: Int = 64, bands: Int = 16)(
-      implicit spark: SparkSession): Unit =
+      implicit spark: SparkSession): Unit = {
+    java.nio.file.Files.deleteIfExists(paramsFile(dir))
     write(docs, dir, "overwrite", numHashes, bands)
+    java.nio.file.Files.write(paramsFile(dir),
+      s"$numHashes $bands $PrefixBuckets".getBytes("UTF-8"))
+  }
 
   /** Append a new batch to an existing index. The caller is responsible
     * for having probed first if pairs against this batch are wanted (an
     * appended document is indistinguishable from a built one afterwards —
     * probing a batch already appended would double-count its band rows). */
   def append(docs: DataFrame, dir: String, numHashes: Int = 64, bands: Int = 16)(
-      implicit spark: SparkSession): Unit =
+      implicit spark: SparkSession): Unit = {
+    checkParams(dir, numHashes, bands)
     write(docs, dir, "append", numHashes, bands)
+  }
 
   /** Compact the band table: rewrite every bpb partition to one file.
     * `append` adds one parquet file per touched directory per batch, so
@@ -126,6 +156,7 @@ object LshIndex {
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     IndexFiles.recover(dir, "bands"); IndexFiles.recover(dir, "shingles")
+    checkParams(dir, numHashes, bands)
     // ONE prep pass over the batch (persisted): feeds the band rows, the
     // bpb footprint AND the refine-side shingle arrays
     val prepared = Dedup.shingleSigs(batch, numHashes).persist()

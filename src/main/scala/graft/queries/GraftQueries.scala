@@ -147,7 +147,8 @@ object GraftQueries {
     val marker = java.nio.file.Paths.get(IvfIndexPath + ".source")
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == d &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(IvfIndexPath, "vectors", "_SUCCESS"))
+      java.nio.file.Files.exists(java.nio.file.Paths.get(IvfIndexPath, "vectors", "_SUCCESS")) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(IvfIndexPath, "NLISTS"))
     if (!fresh) {
       java.nio.file.Files.deleteIfExists(marker)
       Ann.buildIvfIndex(embeddings(s, d), IvfIndexPath, nLists = 16, iters = 3)
@@ -170,7 +171,8 @@ object GraftQueries {
     val marker = java.nio.file.Paths.get(IvfAppendIndexPath + ".source")
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == d &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(IvfAppendIndexPath, "vectors", "_SUCCESS"))
+      java.nio.file.Files.exists(java.nio.file.Paths.get(IvfAppendIndexPath, "vectors", "_SUCCESS")) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(IvfAppendIndexPath, "NLISTS"))
     if (!fresh) {
       java.nio.file.Files.deleteIfExists(marker)
       Ann.buildIvfIndex(embeddings(s, d).where(col("vec_id") < IvfAppendSplit),
@@ -205,7 +207,8 @@ object GraftQueries {
     val marker = java.nio.file.Paths.get(LshIndexPath + ".source")
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == d &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(LshIndexPath, "bands", "_SUCCESS"))
+      java.nio.file.Files.exists(java.nio.file.Paths.get(LshIndexPath, "bands", "_SUCCESS")) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(LshIndexPath, "PARAMS"))
     if (!fresh) {
       java.nio.file.Files.deleteIfExists(marker)
       graft.dedup.LshIndex.build(
@@ -270,12 +273,30 @@ object GraftQueries {
     * table instead of the engine's join pipeline. The oracle therefore
     * verifies the distributed candidate-generation plumbing end to end. */
   val MinhashPairsDumpPath = "/tmp/graft_oracle/minhash_pairs.parquet"
-  private def minhashPairsDump(s: SparkSession, d: String): Unit = {
+  private def minhashPairsDump(s: SparkSession, d: String): Unit =
+    minhashPairsDumpImpl(s, d, MinhashPairsDumpPath, None)
+
+  /** The q_d8 oracle's dump: the SAME kernel loop, but with BucketCap
+    * membership restricted to the probe universe (index ∪ batch =
+    * doc_id < split + batch) — the membership `LshIndex.probe` itself caps
+    * over. The unrestricted whole-corpus dump is only identical while the
+    * corpus happens to fit inside the probe universe (true at sf0.01, NOT
+    * at sf0.1+): a bucket pushed over maxBucket only by out-of-universe
+    * docs would diverge the two sides. Restricting the dump makes the
+    * probe == batch identity hold at EVERY scale. */
+  val MinhashProbePairsDumpPath = "/tmp/graft_oracle/minhash_probe_pairs.parquet"
+  private def minhashProbePairsDump(s: SparkSession, d: String): Unit =
+    minhashPairsDumpImpl(s, d, MinhashProbePairsDumpPath,
+      Some(LshProbeSplit + LshProbeBatch))
+
+  private def minhashPairsDumpImpl(s: SparkSession, d: String, dumpPath: String,
+                                   maxDocId: Option[Long]): Unit = {
     import s.implicits._
-    sharedDump(s, MinhashPairsDumpPath, d) { path =>
+    sharedDump(s, dumpPath, d) { path =>
       val threshold = 0.8; val numHashes = 64; val bands = 8; val maxBucket = 256
       val docs = graft.queries.Tables.documents(s, d).select("doc_id", "text")
         .as[(Long, String)].collect()
+        .filter { case (id, _) => maxDocId.forall(id < _) }
       val prepared = docs.map { case (id, t) =>
         val sh = Dedup.shingles(t).map(Dedup.shingleHash).toArray.sorted
         (id, sh, Dedup.minhashFromHashes(sh, numHashes))
@@ -571,7 +592,9 @@ object GraftQueries {
     // LshIndexSpec.
     "q_d8_lsh_probe" -> ((s, d) => {
       implicit val sp: SparkSession = s
-      minhashPairsDump(s, d) // oracle side: whole-corpus same-kernel dump
+      // oracle side: same-kernel dump with BucketCap membership restricted
+      // to the probe universe (index ∪ batch) — scale-stable identity
+      minhashProbePairsDump(s, d)
       val dir = lshIndexDir(s, d)
       graft.dedup.LshIndex.probe(dir,
           documents(s, d).where(col("doc_id") >= LshProbeSplit &&
@@ -973,14 +996,15 @@ object GraftQueries {
       s"""SELECT a, b, ROUND(jaccard, 6) AS jaccard
           FROM read_parquet('$MinhashPairsDumpPath/*.parquet')""",
     // probe == batch restricted to pairs touching the probe batch: the
-    // SAME whole-corpus recomputation dump, filtered — so the compare
-    // verifies the index build + pruned probe reproduce batch semantics
+    // same-kernel recomputation dump whose BucketCap membership is the
+    // probe universe itself (doc_id < split + batch — see
+    // minhashProbePairsDump), filtered to batch-touching pairs. The
+    // identity is scale-stable: both sides cap over the identical
+    // membership at every sf.
     "q_d8_lsh_probe" ->
       s"""SELECT a, b, ROUND(jaccard, 6) AS jaccard
-          FROM read_parquet('$MinhashPairsDumpPath/*.parquet')
-          WHERE (a >= $LshProbeSplit OR b >= $LshProbeSplit)
-            AND a < ${LshProbeSplit + LshProbeBatch}
-            AND b < ${LshProbeSplit + LshProbeBatch}""",
+          FROM read_parquet('$MinhashProbePairsDumpPath/*.parquet')
+          WHERE (a >= $LshProbeSplit OR b >= $LshProbeSplit)""",
     "q_ann_lsh_neardups" ->
       s"""SELECT a, b, ROUND(sim, 6) AS sim
           FROM read_parquet('$LshPairsDumpPath/*.parquet')""",

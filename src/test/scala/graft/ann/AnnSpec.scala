@@ -182,6 +182,38 @@ class AnnSpec extends AnyFunSuite {
     graft.stream.StreamDedup.deleteTree(dir)
   }
 
+  test("IVF layout guard: a centroid-table swap or a crashed build fails loudly") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val data = vecs(200)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-guard").toString
+    Ann.buildIvfIndex(data.toDF("vec_id", "embedding"), dir, nLists = 16, iters = 1)
+    val q = data.head._2
+    // swap in a rebuilt centroid table with a DIFFERENT list count under
+    // the live vectors table: probes/appends must refuse (the vectors
+    // table's partitioning no longer matches the centroid geometry)
+    val other = java.nio.file.Files.createTempDirectory("ivf-guard2").toString
+    Ann.buildIvfIndex(data.toDF("vec_id", "embedding"), other, nLists = 8, iters = 1)
+    graft.stream.StreamDedup.deleteTree(s"$dir/centroids")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(other, "centroids"), java.nio.file.Paths.get(dir, "centroids"))
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfTopKIndexed(dir, q, 10, nProbe = 8)
+    }
+    assert(e.getMessage.contains("swapped under"))
+    intercept[IllegalArgumentException] {
+      Ann.appendIvf(Seq(data.head).toDF("vec_id", "embedding"), dir)
+    }
+    // a crashed build (NLISTS never written) reads as "no complete index"
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "NLISTS"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.ivfTopKIndexed(dir, q, 10, nProbe = 8)
+    }
+    assert(e2.getMessage.contains("NLISTS missing"))
+    graft.stream.StreamDedup.deleteTree(dir)
+    graft.stream.StreamDedup.deleteTree(other)
+  }
+
   test("lshClusters == union-find over the engine's own pair relation (embedding keep-list)") {
     implicit val s: SparkSession = spark
     import s.implicits._

@@ -116,6 +116,35 @@ class LshIndexSpec extends AnyFunSuite {
     graft.stream.StreamDedup.deleteTree(dir)
   }
 
+  test("build parameters are stored and a mismatched probe/append fails loudly") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val (oldDocs, batch2, _) = corpus
+    val dir = java.nio.file.Files.createTempDirectory("lsh-params").toString
+    LshIndex.build(oldDocs.toDF("doc_id", "text"), dir, numHashes = 64, bands = 16)
+    val batchDf = batch2.toDF("doc_id", "text")
+    // different band count ⇒ disjoint bucket keys ⇒ silent recall loss —
+    // must throw instead
+    val e1 = intercept[IllegalArgumentException] {
+      LshIndex.probe(dir, batchDf, threshold = 0.7, numHashes = 64, bands = 8)
+    }
+    assert(e1.getMessage.contains("disjoint bucket keys"))
+    intercept[IllegalArgumentException] {
+      LshIndex.append(batchDf, dir, numHashes = 32, bands = 16)
+    }
+    // a crashed build (PARAMS never written) must read as "no index"
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "PARAMS"))
+    val e2 = intercept[IllegalArgumentException] {
+      LshIndex.probe(dir, batchDf, threshold = 0.7, numHashes = 64, bands = 16)
+    }
+    assert(e2.getMessage.contains("PARAMS missing"))
+    // matched parameters still work after a rebuild
+    LshIndex.build(oldDocs.toDF("doc_id", "text"), dir, numHashes = 64, bands = 16)
+    assert(LshIndex.probe(dir, batchDf, threshold = 0.7, numHashes = 64, bands = 16)
+      .count() > 0)
+    graft.stream.StreamDedup.deleteTree(dir)
+  }
+
   test("probe's index scan is directory-pruned to the batch's bucket partitions") {
     implicit val s: SparkSession = spark
     import s.implicits._
