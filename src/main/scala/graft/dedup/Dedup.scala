@@ -498,6 +498,29 @@ object Dedup {
   def incrementalClusters(labels: DataFrame, newPairs: DataFrame, newIds: DataFrame)(
       implicit spark: SparkSession): DataFrame = {
     val lbl = labels.select(col(labels.columns(0)).as("id"), col(labels.columns(1)).as("cluster_id"))
+    val (remap, newRows) = incrementalDelta(labels, newPairs, newIds)
+    // 3. apply. Old rows re-label only when their cluster rep moved;
+    //    batch rows take their rep's label (their own id when untouched).
+    val oldUpdated = lbl.join(remap, lbl("cluster_id") === remap("rep"), "left")
+      .select(col("id"), coalesce(col("new_cluster"), col("cluster_id")).as("cluster_id"))
+    oldUpdated.unionByName(newRows)
+  }
+
+  /** The DELTA form of `incrementalClusters` — steps 1-2 without the
+    * corpus-sized step-3 apply: returns
+    *   remap   (rep, new_cluster) — a TOTAL labeling of the representative
+    *           graph (touched old cluster ids + batch ids; rows with
+    *           rep == new_cluster are untouched reps / singleton batch ids)
+    *   newRows (id, cluster_id)   — the batch's final labels
+    * Both relations are bounded by O(batch + touched clusters) — this is
+    * what lets `IndexService` commit labels O(dirty): only label-store
+    * buckets containing a changed rep, its new cluster id, or a batch row
+    * need rewriting, and the store applies remap INSIDE those buckets
+    * (`incrementalClusters` composes the same delta with a full-relation
+    * apply and stays the q_d11-oracled reference form). */
+  def incrementalDelta(labels: DataFrame, newPairs: DataFrame, newIds: DataFrame)(
+      implicit spark: SparkSession): (DataFrame, DataFrame) = {
+    val lbl = labels.select(col(labels.columns(0)).as("id"), col(labels.columns(1)).as("cluster_id"))
     val batch = newIds.select(col(newIds.columns(0)).as("id")).distinct()
     val pairs = newPairs.select(col(newPairs.columns(0)).as("a"), col(newPairs.columns(1)).as("b"))
     // 1. endpoint → representative (old: its cluster; batch: itself).
@@ -521,13 +544,9 @@ object Dedup {
       .distinct()
     val remap = connectedComponents(projected, repNodes)
       .select(col("id").as("rep"), col("cluster_id").as("new_cluster"))
-    // 3. apply. Old rows re-label only when their cluster rep moved;
-    //    batch rows take their rep's label (their own id when untouched).
-    val oldUpdated = lbl.join(remap, lbl("cluster_id") === remap("rep"), "left")
-      .select(col("id"), coalesce(col("new_cluster"), col("cluster_id")).as("cluster_id"))
     val newRows = batch.join(remap, batch("id") === remap("rep"), "left")
       .select(col("id"), coalesce(col("new_cluster"), col("id")).as("cluster_id"))
-    oldUpdated.unionByName(newRows)
+    (remap, newRows)
   }
 
   /** Near-dup clusters over the documents table: exact inverted-index

@@ -1,0 +1,307 @@
+package graft.dedup
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * A near-dup index family pluggable into the resumable service loop: one
+ * persisted, incrementally-appendable index (LshIndex / PhashIndex shape)
+ * plus its pair operators. The service machinery (INFLIGHT/HEAD atomic
+ * commits, crash excision, cursor batching, bucketed label store) is
+ * modality-agnostic; everything hash-family-specific lives behind this
+ * trait. Pairs frames must expose columns (a, b).
+ */
+trait ClusterModality {
+  /** id column of the input rows (doc_id / id / vec_id). */
+  def idCol: String
+  /** Every persisted index table as (subdir, partitioned, partitionCol) —
+    * the crash-excision surface (`IndexFiles.rewriteFiltered`). */
+  def tables: Seq[(String, Boolean, String)]
+  /** True once a build has produced the index under `idxDir`. */
+  def built(idxDir: String): Boolean
+  def build(batch: DataFrame, idxDir: String)(implicit s: SparkSession): Unit
+  /** Batch-internal pairs for the FIRST batch (no index to probe yet). */
+  def firstPairs(batch: DataFrame)(implicit s: SparkSession): DataFrame
+  /** Pairs of `batch` vs the index AND within the batch (probe BEFORE
+    * append — the shared contract of all the persisted indexes). */
+  def probe(idxDir: String, batch: DataFrame)(implicit s: SparkSession): DataFrame
+  def append(batch: DataFrame, idxDir: String)(implicit s: SparkSession): Unit
+  def compact(idxDir: String)(implicit s: SparkSession): Unit
+}
+
+/**
+ * RESUMABLE incremental near-dup service, generic over the index modality
+ * (text MinHash-LSH, image pHash blocks, …) — the INFLIGHT/HEAD commit +
+ * crash-excision machinery `DedupService` proved out for text, extracted
+ * so every persisted index runs the same validated loop:
+ *
+ *   probe the persisted index (pairs vs indexed corpus + in-batch)
+ *   → append the batch to the index
+ *   → fold the pairs into the standing clustering (`incrementalDelta`)
+ *   → commit labels + cursor ATOMICALLY
+ *
+ * State layout under `stateDir` (same as the original DedupService so its
+ * on-disk contract and spec carry over):
+ *   index/<tables>                the modality's persisted index
+ *   labels/v<N>/lb=<B>/…          immutable labels versions, RANGE-BUCKETED
+ *                                 by lb = cluster_id / labelRangeWidth
+ *   HEAD                          text "version cursor" — THE commit point
+ *   INFLIGHT                      text "<cursor>" crash marker
+ *   commits.jsonl                 per-commit write metrics (metadata only)
+ *
+ * O(dirty) LABEL COMMITS — the labels table is hive-partitioned by the
+ * RANGE bucket of cluster_id. Because cluster ids are member MINIMA and the
+ * arrival contract assigns ids monotonically, a batch's self-labeled rows
+ * fall into O(batchSize / width) CONTIGUOUS buckets, rows merging into old
+ * clusters land in the touched clusters' buckets, and a changed cluster
+ * relabels rows that all live in exactly two buckets (lb(old rep) and
+ * lb(new cluster id) — new ids are minima, so moves are localized). Each
+ * commit therefore rewrites ONLY the buckets containing a batch row, a
+ * changed rep, or its new cluster id — bounded by O(batch + touched
+ * clusters) buckets — and carries every clean bucket forward as HARDLINKS
+ * (the tile store's dirty-partition commit scheme, TileStore.scala:72,
+ * applied to the label relation). The closure argument making the pruned
+ * rewrite exact: a row outside the dirty buckets has lb(cluster_id) not
+ * dirty, hence its cluster is not in the remap, hence its label cannot
+ * change; a row inside them can only move to lb(new_cluster), which is
+ * dirty by construction.
+ *
+ * Crash safety is unchanged from DedupService (see its scaladoc): every
+ * index mutation happens between INFLIGHT(cursor) and the HEAD commit;
+ * recovery excises half-appended batches by rewriting the index tables
+ * filtered to the committed cursor and deletes the orphan labels version
+ * (hardlinked files delete like any other — links are per-version).
+ */
+object IndexService {
+
+  final case class Head(version: Long, cursor: Long)
+
+  /** Ids per label bucket. The default gives ~65k rows (~1 MB parquet) per
+    * bucket on dense id spaces — small enough that a touched cluster's
+    * rewrite is cheap, large enough that a billion-row corpus is ~15k
+    * directories (the tile store's partition-count regime). */
+  val DefaultLabelRangeWidth = 1L << 16
+
+  private def headFile(stateDir: String) = Paths.get(stateDir, "HEAD")
+  private def inflightFile(stateDir: String) = Paths.get(stateDir, "INFLIGHT")
+  private def commitsFile(stateDir: String) = Paths.get(stateDir, "commits.jsonl")
+  private[dedup] def indexDir(stateDir: String) = Paths.get(stateDir, "index").toString
+  private def labelsDir(stateDir: String, v: Long) = Paths.get(stateDir, "labels", s"v$v")
+
+  def readHead(stateDir: String): Head = {
+    val f = headFile(stateDir)
+    if (!Files.exists(f)) Head(0L, 0L)
+    else {
+      val parts = new String(Files.readAllBytes(f), "UTF-8").trim.split("\\s+")
+      Head(parts(0).toLong, parts(1).toLong)
+    }
+  }
+
+  private def writeAtomic(path: Path, content: String): Unit =
+    graft.io.AtomicWrite.write(path, content)
+
+  private def lbOf(width: Long)(c: Column): Column = (c / lit(width)).cast("long")
+
+  /** Current committed labels (id, cluster_id); empty-schema frame before
+    * the first commit. The lb partition column is dropped — it is physical
+    * layout, not part of the relation. */
+  def labels(stateDir: String)(implicit spark: SparkSession): DataFrame = {
+    val h = readHead(stateDir)
+    if (h.version == 0L) {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("id", "cluster_id")
+    } else spark.read.parquet(labelsDir(stateDir, h.version).toString)
+      .select("id", "cluster_id")
+  }
+
+  /** Excise a batch that crashed between its first index mutation and the
+    * HEAD commit. Loud no-op when the state is clean. */
+  def recover(stateDir: String, modality: ClusterModality)(
+      implicit spark: SparkSession): Unit = {
+    val inflight = inflightFile(stateDir)
+    if (!Files.exists(inflight)) return
+    val started = new String(Files.readAllBytes(inflight), "UTF-8").trim.toLong
+    val head = readHead(stateDir)
+    if (started == head.cursor) {
+      // the batch never committed: excise its index rows + orphan labels
+      val idx = indexDir(stateDir)
+      if (head.version == 0L) {
+        // crash during the very first build: nothing committed, drop all
+        graft.stream.StreamDedup.deleteTree(idx)
+      } else modality.tables.foreach { case (sub, partitioned, partCol) =>
+        IndexFiles.recover(idx, sub)
+        IndexFiles.rewriteFiltered(idx, sub, partitioned,
+          col(modality.idCol) < head.cursor, partCol)
+      }
+      graft.stream.StreamDedup.deleteTree(labelsDir(stateDir, head.version + 1).toString)
+      println(s"[index-service] recovered: excised uncommitted batch at cursor=$started")
+    }
+    Files.delete(inflight)
+  }
+
+  /** Hardlink every parquet file of `prev`'s clean lb buckets into `next`.
+    * Returns the carried-directory count. */
+  private def carryClean(prev: Path, next: Path, dirtyLbs: Set[Long]): Int = {
+    var carried = 0
+    Option(prev.toFile.listFiles()).getOrElse(Array.empty).foreach { d =>
+      if (d.isDirectory && d.getName.startsWith("lb=") &&
+          !dirtyLbs.contains(d.getName.drop(3).toLong)) {
+        val dst = next.resolve(d.getName)
+        Files.createDirectories(dst)
+        d.listFiles().foreach { f =>
+          if (f.getName.endsWith(".parquet"))
+            Files.createLink(dst.resolve(f.getName), f.toPath)
+        }
+        carried += 1
+      }
+    }
+    carried
+  }
+
+  private def writtenLbs(version: Path): Set[Long] =
+    Option(version.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("lb="))
+      .map(_.getName.drop(3).toLong).toSet
+
+  /** Process every pending batch of `rows` (id-range batching from the
+    * committed cursor; `rows` needs `modality.idCol` plus whatever the
+    * modality hashes; ids are assigned monotonically — see DedupService).
+    * Returns the committed head after draining. Re-invoking with the same
+    * inputs is a no-op; new arrivals process only the tail. */
+  def run(rows: DataFrame, stateDir: String, batchSize: Long,
+          modality: ClusterModality, keepLabelVersions: Int = 2,
+          compactEvery: Int = 0, labelRangeWidth: Long = DefaultLabelRangeWidth)(
+      implicit spark: SparkSession): Head = {
+    import spark.implicits._
+    require(batchSize > 0, "batchSize must be positive")
+    require(keepLabelVersions >= 1, "keepLabelVersions must be >= 1")
+    require(labelRangeWidth > 0, "labelRangeWidth must be positive")
+    val idc = modality.idCol
+    Files.createDirectories(Paths.get(stateDir, "labels"))
+    recover(stateDir, modality)
+    var head = readHead(stateDir)
+    val maxIdRow = rows.agg(max(col(idc)), min(col(idc))).head()
+    if (maxIdRow.isNullAt(0)) return head // nothing to do
+    val maxId = maxIdRow.getLong(0)
+    require(maxIdRow.getLong(1) >= 0L,
+      s"$idc must be non-negative (id-range batching from 0)")
+    require(maxId < Long.MaxValue - batchSize,
+      s"$idc $maxId too close to Long.MaxValue for batchSize $batchSize (cursor overflow)")
+    val idx = indexDir(stateDir)
+    val lb = lbOf(labelRangeWidth) _
+    while (head.cursor <= maxId) {
+      // skip straight to the next existing id — sparse id spaces (holes,
+      // snowflake-style ids) must cost one aggregation, not
+      // gap/batchSize empty-range iterations
+      val nextRow = rows.where(col(idc) >= head.cursor).agg(min(col(idc))).head()
+      if (nextRow.isNullAt(0)) return head
+      val start = nextRow.getLong(0)
+      if (start > head.cursor) {
+        // cursor jump over the hole: no version bump, no mutation
+        writeAtomic(headFile(stateDir), s"${head.version} $start")
+        head = Head(head.version, start)
+      }
+      val batch = rows
+        .where(col(idc) >= head.cursor && col(idc) < head.cursor + batchSize)
+      val newCursor = math.min(head.cursor + batchSize, maxId + 1)
+      writeAtomic(inflightFile(stateDir), head.cursor.toString)
+      val vdir = labelsDir(stateDir, head.version + 1)
+      val (writtenDirs, carriedDirs, writtenRows) =
+        if (!modality.built(idx)) {
+          // first non-empty batch: build the index, cluster internally,
+          // write the FULL labeling (every bucket is dirty by definition)
+          modality.build(batch, idx)
+          val pairs = modality.firstPairs(batch)
+          val full = Dedup.connectedComponents(pairs.select("a", "b"), batch.select(idc))
+          val obs = org.apache.spark.sql.Observation()
+          full.withColumn("lb", lb(col("cluster_id")))
+            .observe(obs, count(lit(1)).as("rows"))
+            .repartition(col("lb"))
+            .write.mode("overwrite").partitionBy("lb").parquet(vdir.toString)
+          Dedup.releaseCheckpoint(full)
+          Dedup.releaseCheckpoint(pairs)
+          (writtenLbs(vdir).size, 0, obs.get("rows").asInstanceOf[Long])
+        } else {
+          // probe BEFORE append (probe materializes eagerly); then fold
+          // the delta and rewrite ONLY the dirty label buckets
+          val pairs = modality.probe(idx, batch)
+          modality.append(batch, idx)
+          val prevLabels = spark.read.parquet(labelsDir(stateDir, head.version).toString)
+          val (remap, newRows) = Dedup.incrementalDelta(
+            prevLabels.select("id", "cluster_id"),
+            pairs.select("a", "b"), batch.select(idc))
+          // remap is CC output (checkpoint-backed, O(batch + touched));
+          // `changed` drops the untouched reps / self-labeled batch ids —
+          // only actual moves dirty old buckets
+          val changed = remap.where(col("rep") =!= col("new_cluster"))
+          val dirty: Set[Long] = changed.select(lb(col("rep")).as("l"))
+            .union(changed.select(lb(col("new_cluster")).as("l")))
+            .union(newRows.select(lb(col("cluster_id")).as("l")))
+            .distinct().as[Long].collect().toSet // bounded by O(batch + touched)
+          // partition-pruned read of the dirty buckets; apply the remap
+          // inside them; batch rows append into their (dirty) buckets
+          val dirtyOld = prevLabels
+            .where(col("lb").isin(dirty.toSeq.map(java.lang.Long.valueOf): _*))
+            .join(broadcast(changed), col("cluster_id") === col("rep"), "left")
+            .select(col("id"),
+              coalesce(col("new_cluster"), col("cluster_id")).as("cluster_id"))
+          val obs = org.apache.spark.sql.Observation()
+          dirtyOld.unionByName(newRows.select("id", "cluster_id"))
+            .withColumn("lb", lb(col("cluster_id")))
+            .observe(obs, count(lit(1)).as("rows"))
+            .repartition(col("lb"))
+            .write.mode("overwrite").partitionBy("lb").parquet(vdir.toString)
+          val written = writtenLbs(vdir)
+          require(written.subsetOf(dirty),
+            s"label rewrite emitted rows outside its dirty buckets (would " +
+              s"duplicate hardlink-carried data): ${(written -- dirty).take(5)}")
+          val carried = carryClean(labelsDir(stateDir, head.version), vdir, dirty)
+          Dedup.releaseCheckpoint(remap)
+          Dedup.releaseCheckpoint(pairs)
+          (written.size, carried, obs.get("rows").asInstanceOf[Long])
+        }
+      writeAtomic(headFile(stateDir), s"${head.version + 1} $newCursor") // commit point
+      Files.delete(inflightFile(stateDir))
+      // metrics AFTER the commit (metadata only, not part of the commit)
+      Files.write(commitsFile(stateDir),
+        (s"""{"version": ${head.version + 1}, "cursor": $newCursor, """ +
+          s""""written_dirs": $writtenDirs, "carried_dirs": $carriedDirs, """ +
+          s""""written_rows": $writtenRows}""" + "\n").getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      // retention, after the commit (old versions are unreferenced).
+      // Sweep EVERY version at-or-below the floor, not just one — a crash
+      // between the commit and this delete must not strand a version
+      val floor = head.version + 1 - keepLabelVersions
+      Option(Paths.get(stateDir, "labels").toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("v") &&
+          f.getName.drop(1).toLongOption.exists(_ <= floor))
+        .foreach(f => graft.stream.StreamDedup.deleteTree(f.getPath))
+      head = Head(head.version + 1, newCursor)
+      if (compactEvery > 0 && head.version % compactEvery == 0)
+        modality.compact(idx)
+    }
+    head
+  }
+
+  /** The per-commit metric records (version, cursor, written_dirs,
+    * carried_dirs, written_rows), oldest first — the evidence surface for
+    * the O(dirty) commit contract. */
+  def commitStats(stateDir: String): Seq[(Long, Long, Int, Int, Long)] = {
+    val f = commitsFile(stateDir)
+    if (!Files.exists(f)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).map { line =>
+        def grab(k: String): String = {
+          val i = line.indexOf(s""""$k": """) + k.length + 4
+          line.substring(i).takeWhile(c => c.isDigit || c == '-')
+        }
+        (grab("version").toLong, grab("cursor").toLong,
+          grab("written_dirs").toInt, grab("carried_dirs").toInt,
+          grab("written_rows").toLong)
+      }
+    }
+  }
+}

@@ -419,6 +419,58 @@ object GraftQueries {
     ()
   }
 
+  /** Persisted PhashService state over the planted image corpus, driven in
+    * 4 batches (marker-shared; a re-invocation is the service's committed
+    * no-op resume — the cheap path a resident service pays per idle poll).
+    * The labels read from it must equal batch-mode `phashClusters` of the
+    * whole corpus — the image service's q_d11-style identity. */
+  val PhashSvcStatePath = "/tmp/graft_oracle/phash_svc_state"
+  private def phashSvcStateDir(s: SparkSession): String = {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    val source = s"planted:$PhashQueryRows:v6"
+    val marker = java.nio.file.Paths.get(PhashSvcStatePath + ".source")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == source
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      graft.stream.StreamDedup.deleteTree(PhashSvcStatePath)
+    }
+    val imgs = sp.range(PhashQueryRows).as[Long]
+      .map(i => (i, ImageSynth.plantedPhash(i))).toDF("id", "phash")
+    graft.dedup.PhashService.run(imgs, PhashSvcStatePath,
+      batchSize = PhashQueryRows / 4, maxDist = 3, labelRangeWidth = 128)
+    if (!fresh) {
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, source.getBytes("UTF-8"))
+    }
+    PhashSvcStatePath
+  }
+
+  /** Persisted IvfService state over the fixed 500-vector slice, driven in
+    * 3 batches (build + 2 frozen-centroid appends under atomic cursor
+    * commits). Marker-shared per sf dir; re-invocation is a resume no-op. */
+  val IvfSvcStatePath = "/tmp/graft_oracle/ivf_svc_state"
+  val IvfSvcRows = 500L
+  private def ivfSvcStateDir(s: SparkSession, d: String): String = {
+    implicit val sp: SparkSession = s
+    val marker = java.nio.file.Paths.get(IvfSvcStatePath + ".source")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == d
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      graft.stream.StreamDedup.deleteTree(IvfSvcStatePath)
+    }
+    graft.ann.IvfService.run(
+      embeddings(s, d).where(col("vec_id") < IvfSvcRows),
+      IvfSvcStatePath, batchSize = 200, nLists = 16, iters = 3)
+    if (!fresh) {
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, d.getBytes("UTF-8"))
+    }
+    IvfSvcStatePath
+  }
+
   private def imgRasterDump(s: SparkSession): DataFrame = {
     implicit val sp: SparkSession = s
     sharedDump(s, ImgRasterDumpPath, s"images:$ImgPipelineRows") { path =>
@@ -748,6 +800,35 @@ object GraftQueries {
       val batch = sp.range(PhashProbeSplit, PhashQueryRows).as[Long]
         .map(i => (i, ImageSynth.plantedPhash(i))).toDF("id", "phash")
       graft.dedup.PhashIndex.probe(dir, batch, maxDist = 3)
+    }),
+
+    // RESUMABLE IMAGE SERVICE end-to-end: the generic IndexService loop
+    // (INFLIGHT/HEAD atomic commits, O(dirty) bucketed label rewrites,
+    // crash excision) bound to the persisted pHash block index, driven over
+    // the planted corpus in 4 batches. The committed labels must equal
+    // batch-mode phashClusters of the whole corpus; DuckDB independently
+    // closes its own brute-force pair recomputation with the recursive
+    // reachability CTE (the q_d7/q_img_dedup_clusters scheme).
+    "q_img_svc_clusters" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val state = phashSvcStateDir(s)
+      graft.dedup.PhashService.labels(state)
+    }),
+
+    // RESUMABLE EMBEDDING-INDEX SERVICE: IVF build + frozen-centroid
+    // appends under atomic cursor commits (crash-excised, duplicate-free —
+    // the service wrapper Ann.appendIvf alone lacks), then a full probe
+    // over the service-maintained index — must equal brute-force top-k
+    // over the same slice exactly.
+    "q_ann_ivf_service" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val state = ivfSvcStateDir(s, d)
+      val q = embeddings(s, d).where(col("vec_id") === 0L)
+        .select("embedding").as[Array[Float]].head()
+      graft.ann.Ann.ivfTopKIndexed(graft.ann.IvfService.indexDir(state), q, 10,
+          nProbe = 16, excludeId = Some(0L))
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
     }),
 
     // END-TO-END image similarity search: bytes → in-engine pooled-luma
@@ -1177,6 +1258,27 @@ object GraftQueries {
                  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
           FROM imgs a JOIN imgs b ON a.id < b.id
           WHERE bit_count(xor(a.ph, b.ph)) <= 6""",
+    // the image service's labels == the transitive closure of the planted
+    // corpus's brute-force pairs (DuckDB recomputes pairs AND closure
+    // independently of the service's probe/fold path)
+    "q_img_svc_clusters" ->
+      s"""WITH RECURSIVE imgs(id, ph) AS (VALUES $phashValues),
+          pairs AS (SELECT a.id AS a, b.id AS b FROM imgs a JOIN imgs b
+                    ON a.id < b.id AND bit_count(xor(a.ph, b.ph)) <= 3),
+          edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+          reach(u, m) AS (
+            SELECT id, id FROM imgs
+            UNION
+            SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u)
+          SELECT CAST(u AS BIGINT) AS id, CAST(min(m) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY 1""",
+    // service-maintained IVF index, full probe ⇒ exact: brute-force oracle
+    // over the same fixed slice
+    "q_ann_ivf_service" ->
+      s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+         FROM embeddings WHERE vec_id <> 0 AND vec_id < $IvfSvcRows
+         ORDER BY sim DESC, vec_id LIMIT 10""",
     "q_img_dedup_clusters" ->
       s"""WITH RECURSIVE imgs(id, ph) AS (VALUES $e2ePhashValues),
           pairs AS (SELECT a.id AS a, b.id AS b FROM imgs a JOIN imgs b

@@ -134,6 +134,48 @@ class DedupServiceSpec extends AnyFunSuite {
     } finally graft.stream.StreamDedup.deleteTree(state)
   }
 
+  test("labels commit is O(dirty): clean buckets hardlink-carry, dirty writes track touched clusters") {
+    import spark.implicits._
+    val state = tmpState()
+    try {
+      // 64 unique docs (no near-dups across batches except one planted
+      // pair), ids dense 0..63; labelRangeWidth=16 + batchSize=16 align
+      // each batch with exactly ONE label bucket
+      val uniq = (0L until 64L).map(i =>
+        (i, s"doc $i " + Seq.tabulate(40)(j => s"w${i * 131 + j * 17}").mkString(" ")))
+      // plant one cross-batch near-dup: doc 50 ~ doc 3 (merges bucket 3 & 0)
+      val docs64 = uniq.map { case (i, t) => if (i == 50) (i, uniq(3)._2 + " tail") else (i, t) }
+        .toDF("doc_id", "text")
+      DedupService.run(docs64, state, batchSize = 16, threshold = 0.8,
+        bands = 8, maxBucket = noCap, keepLabelVersions = 10, labelRangeWidth = 16)
+      assert(labelMap(DedupService.labels(state)) === batchModeLabels(docs64))
+      val stats = IndexService.commitStats(state)
+      assert(stats.map(_._1) === Seq(1L, 2L, 3L, 4L))
+      // batch 2 (ids 16..31, no merges): exactly its own bucket written,
+      // bucket 0 carried forward as hardlinks — NOT a corpus rewrite
+      val (_, _, w2, c2, r2) = stats(1)
+      assert(w2 === 1, s"no-merge batch must write exactly 1 bucket, wrote $w2")
+      assert(c2 === 1, s"clean bucket not carried ($c2)")
+      assert(r2 === 16L, s"no-merge batch must write only its own rows, wrote $r2")
+      // batch 4 (ids 48..63, contains the planted merge with cluster 3):
+      // writes its own bucket + the touched cluster's bucket, carries the rest
+      val (_, _, w4, c4, r4) = stats(3)
+      assert(w4 === 2, s"merge batch must write batch + touched bucket, wrote $w4")
+      assert(c4 === 2, s"clean buckets not carried ($c4)")
+      assert(r4 === 32L, s"merge batch rewrote $r4 rows, expected 2 buckets = 32")
+      // carried files are HARDLINKS of the previous version's files
+      val v4 = java.nio.file.Paths.get(state, "labels", "v4", "lb=1")
+      val carriedFile = v4.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val nlink = java.nio.file.Files.getAttribute(carriedFile.toPath, "unix:nlink")
+        .asInstanceOf[Number].intValue
+      assert(nlink >= 2, s"carried file is a copy (nlink=$nlink), not a hardlink")
+      // the pruned rewrite must not have changed the relation: labels at
+      // head equal batch mode (asserted above) AND every id labeled once
+      assert(DedupService.labels(state).groupBy("id").count()
+        .where(col("count") > 1).isEmpty, "duplicate label rows")
+    } finally graft.stream.StreamDedup.deleteTree(state)
+  }
+
   test("empty id ranges advance the cursor without a version bump") {
     val state = tmpState()
     try {
