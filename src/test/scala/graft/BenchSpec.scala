@@ -26,7 +26,9 @@ class BenchSpec extends AnyFunSuite {
     val byName = results.map(r => r.name -> r).toMap
     assert(byName("q_ok").error.isEmpty)
     assert(byName("q_ok").secs.exists(_ > 0.0))
-    assert(byName("q_ok").samples.length == 2 && byName("q_ok").samples.forall(_.isRight))
+    // 2 base samples, plus possibly an adaptive third when cold-session
+    // warm-up makes the first sample a legitimate >3x dispute
+    assert(byName("q_ok").samples.length >= 2 && byName("q_ok").samples.forall(_.isRight))
     val err = byName("q_broken").error
     assert(err.isDefined, "broken query did not record an error")
     assert(err.get.toLowerCase.contains("table_that_does_not_exist")
@@ -53,6 +55,34 @@ class BenchSpec extends AnyFunSuite {
     assert(m.transient.exists(_.contains("transient flake")),
       "the transient failure must still be recorded, not swallowed")
     assert(m.samples.head.isLeft && m.samples(1).isRight)
+  }
+
+  test("a >3x sample dispute above the floor triggers ONE adaptive third sample") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    var calls = 0
+    val passStarts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      // first sample stalls (simulated host window), later samples are fast
+      "q_disputed" -> ((sp, _) => {
+        import sp.implicits._
+        calls += 1
+        if (calls == 1) Thread.sleep(3800) else Thread.sleep(50)
+        Seq(1).toDF("n")
+      }),
+      // fast query: sub-second scatter must NOT trigger arbitration
+      "q_quick" -> ((sp, _) => { import sp.implicits._; Seq(1).toDF("n") }))
+    val results = Bench.measureQueries(s, "/unused", queries,
+      onPassStart = passStarts += _)
+    val byName = results.map(r => r.name -> r).toMap
+    assert(byName("q_disputed").samples.length === 3,
+      s"disputed query did not get a third sample: ${byName("q_disputed").samples}")
+    assert(byName("q_disputed").secs.exists(_ < 1.0),
+      "min() must take a clean sample after arbitration")
+    assert(byName("q_quick").samples.length === 2,
+      "sub-floor scatter must not trigger the adaptive pass for quick queries")
+    // the hook (the canary in main) brackets base passes AND the adaptive one
+    assert(passStarts.toSeq === Seq(1, 2, 3))
   }
 
   test("passes are interleaved across the catalog, not back-to-back per query") {
