@@ -355,6 +355,53 @@ object GraftQueries {
     ()
   }
 
+  /** Streaming-embedding corpus constants: the first `EmbStreamOriginals`
+    * vectors of the embeddings table, plus one planted near-dup variant
+    * per original (id = original + EmbStreamOriginals, so variants arrive
+    * AFTER their originals under id-ordered micro-batching — the
+    * e2eCorpus scheme applied to embeddings; the raw table plants no
+    * strong-similarity pairs, max pairwise cosine ≈ 0.51). */
+  val EmbStreamOriginals = 250L
+
+  /** Deterministic small perturbation (±0.08 per dim) — keeps cosine ≈ 1,
+    * so the variant's 64-bit sign-LSH signature lands within a few bits of
+    * the original's. Shared verbatim by the Spark corpus builder and the
+    * driver-side oracle dump (same object, zero drift). */
+  private[queries] def perturbEmb(v: Array[Float], seed: Long): Array[Float] =
+    v.zipWithIndex.map { case (x, i) =>
+      x + 0.08f * ((TraceSynth.mix64(seed * 131L + i) % 1000L).toFloat / 1000f)
+    }
+
+  private def embStreamCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = embeddings(s, d).where(col("vec_id") < EmbStreamOriginals)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    base.map { case (id, v) => (id, v) }
+      .union(base.map { case (id, v) => (EmbStreamOriginals + id, perturbEmb(v, id)) })
+      .toDF("id", "embedding")
+  }
+
+  /** Driver-side same-kernel recomputation of every corpus member's 64-bit
+    * sign-LSH signature (`Ann.lshBucket` at `StreamDedup.EmbSigPlanes`) —
+    * the q_stream_emb_neardup oracle judges every streaming verdict
+    * independently with a correlated EXISTS over these values. */
+  val EmbSigDumpPath = "/tmp/graft_oracle/emb_sigs.parquet"
+  private def embSigDump(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    sharedDump(s, EmbSigDumpPath, d) { path =>
+      val planes = graft.stream.StreamDedup.EmbSigPlanes
+      val base = embeddings(s, d).where(col("vec_id") < EmbStreamOriginals)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+      val rows = base.map { case (id, v) => (id, Ann.lshBucket(v, planes)) } ++
+        base.map { case (id, v) =>
+          (EmbStreamOriginals + id, Ann.lshBucket(perturbEmb(v, id), planes))
+        }
+      s.createDataset(rows.toSeq).toDF("id", "esig")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    ()
+  }
+
   /** ENGINE-computed LSH cosine pairs (the q_ann_lsh_neardups result),
     * materialized once per sf dir and shared by q_ann_lsh_clusters — the
     * q_d6/q_d7 split applied to the embedding family: the pair query IS
@@ -470,6 +517,27 @@ object GraftQueries {
     }
     IvfSvcStatePath
   }
+
+  /** The STANDING cross-signal clustering of the already-indexed corpus
+    * (docs below the q_d8 split): CC over the union of the text Jaccard
+    * pairs and the embedding cosine pairs restricted to the base — the
+    * service state q_d12's incremental cross-signal update folds a batch
+    * into (the q_d11 scheme applied to the q_d10 edge set). */
+  val CrossBaseLabelsDumpPath = "/tmp/graft_oracle/cross_base_labels.parquet"
+  private def crossBaseLabelsDump(s: SparkSession, d: String): DataFrame =
+    sharedDump(s, CrossBaseLabelsDumpPath, d) { path =>
+      implicit val sp: SparkSession = s
+      val split = LshProbeSplit
+      val textPairs = TextQueries.jaccardPairsDump(s, d)
+        .where(col("a") < split && col("b") < split).select("a", "b")
+      val embPairs = annPairsDump(s, d)
+        .where(col("a") < split && col("b") < split).select("a", "b")
+      val out = Dedup.connectedComponents(
+        textPairs.unionByName(embPairs),
+        TextQueries.dedupDocs(s, d).where(col("doc_id") < split).select("doc_id"))
+      out.coalesce(1).write.mode("overwrite").parquet(path)
+      Dedup.releaseCheckpoint(out)
+    }
 
   private def imgRasterDump(s: SparkSession): DataFrame = {
     implicit val sp: SparkSession = s
@@ -684,6 +752,31 @@ object GraftQueries {
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // INCREMENTAL cross-signal fold — q_d10's multi-signal keep decision in
+    // arrival form (VERDICT r5 #5): the standing clustering of the indexed
+    // corpus (text ∪ embedding pairs below the split, shared-dump'd) folds
+    // in ONE batch's pairs from BOTH signals via the same O(batch +
+    // touched) incrementalClusters step q_d11 oracles — per service batch,
+    // union the two probes' pairs before the fold. Must equal the
+    // batch-mode cross-signal closure of the full corpus exactly (the
+    // q_d10 oracle verbatim), while only ever running CC on the
+    // representative graph.
+    "q_d12_cross_incr" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      lshPairsDump(s, d) // oracle side: same-kernel cosine pair dump
+      val split = LshProbeSplit
+      val textPairs = TextQueries.jaccardPairsDump(s, d).select("a", "b")
+      val embPairs = annPairsDump(s, d)
+        .where(col("a") < 500 && col("b") < 500).select("a", "b")
+      val batchPairs = textPairs.unionByName(embPairs)
+        .where(col("a") >= split || col("b") >= split)
+      Dedup.incrementalClusters(
+          crossBaseLabelsDump(s, d),
+          batchPairs,
+          TextQueries.dedupDocs(s, d).where(col("doc_id") >= split).select("doc_id"))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
     // Batch SimHash near-dup pairs — the missing middle of the SimHash
     // family (q_d4 computes the hashes, q_stream_text_neardup judges
     // streaming arrivals; this is the batch join between them). DuckDB
@@ -895,6 +988,26 @@ object GraftQueries {
       out
     }),
 
+    // STREAMING EMBEDDING near-dedup — the block-state kernel's third
+    // modality (image pHash, text SimHash, embedding sign-LSH signature
+    // computed INSIDE the stream): the live stateful stream over 4
+    // id-ordered micro-batches of originals + planted perturbed variants;
+    // DuckDB judges every verdict independently with a correlated EXISTS
+    // over the driver-side same-kernel signature dump.
+    "q_stream_emb_neardup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      embSigDump(s, d) // oracle side: same-kernel signature dump
+      val corpus = embStreamCorpus(s, d)
+      val base = java.nio.file.Files.createTempDirectory("q-stream-emb").toString
+      val flat = graft.stream.StreamDedup
+        .writeIdOrderedSlices(corpus, nSlices = 4, sliceSize = 125, base)
+      val out = graft.stream.StreamDedup
+        .runOnceEmb(flat, corpus.schema, s"q_stream_emb_${System.nanoTime()}", maxDist = 6)
+        .select(col("id"), col("esig"), col("is_dup"))
+      graft.stream.StreamDedup.deleteTree(base)
+      out
+    }),
+
     "q_stream_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
@@ -1041,6 +1154,31 @@ object GraftQueries {
     // from the documents table (the q_d7 scheme), unions the independent
     // driver-side cosine pair dump, and closes the union transitively
     "q_d10_cross_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+            SELECT DISTINCT doc_id, substring(text, g, 3) AS s
+            FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS g
+                  FROM documents WHERE length(text) >= 3 AND doc_id < 500)),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          tpairs AS (SELECT a, b FROM inter
+                     JOIN sizes sa ON sa.doc_id = a
+                     JOIN sizes sb ON sb.doc_id = b
+                     WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7),
+          epairs AS (SELECT a, b FROM read_parquet('$LshPairsDumpPath/*.parquet')
+                     WHERE a < 500 AND b < 500),
+          pairs AS (SELECT a, b FROM tpairs UNION SELECT a, b FROM epairs),
+          edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+          reach(u, m) AS (
+            SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+            UNION
+            SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u)
+          SELECT u AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1""",
+    // the incremental cross-signal fold must equal the BATCH-MODE
+    // cross-signal closure — the q_d10 oracle verbatim (the fold's entire
+    // point is reproducing it while touching only O(batch) state)
+    "q_d12_cross_incr" ->
       s"""WITH RECURSIVE sh AS (
             SELECT DISTINCT doc_id, substring(text, g, 3) AS s
             FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS g
@@ -1246,6 +1384,12 @@ object GraftQueries {
                         WHERE b.doc_id < a.doc_id AND b.doc_id < 500
                           AND bit_count(xor(a.simhash, b.simhash)) <= 3) AS is_dup
           FROM read_parquet('$DocHashDumpPath/*.parquet') a WHERE a.doc_id < 500""",
+    "q_stream_emb_neardup" ->
+      s"""SELECT a.id, a.esig,
+                 EXISTS(SELECT 1 FROM read_parquet('$EmbSigDumpPath/*.parquet') b
+                        WHERE b.id < a.id
+                          AND bit_count(xor(a.esig, b.esig)) <= 6) AS is_dup
+          FROM read_parquet('$EmbSigDumpPath/*.parquet') a""",
     "q_stream_neardup" ->
       s"""WITH imgs(id, ph) AS (VALUES $phashValues)
           SELECT CAST(a.id AS BIGINT) AS id, CAST(a.ph AS BIGINT) AS phash,

@@ -127,12 +127,15 @@ object StreamDedup {
 
   private def driveToCompletion(sourceDir: String,
       schema: org.apache.spark.sql.types.StructType, queryName: String,
-      maxDist: Int, text: Boolean)(implicit spark: SparkSession): DataFrame = {
+      maxDist: Int, mode: String)(implicit spark: SparkSession): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", HarnessStatePartitions.toString)
     val src = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(sourceDir)
-    val stream =
-      if (text) textNearDupStream(src, maxDist)(ss) else nearDupStream(src, maxDist)(ss)
+    val stream = mode match {
+      case "image" => nearDupStream(src, maxDist)(ss)
+      case "text" => textNearDupStream(src, maxDist)(ss)
+      case "emb" => embNearDupStream(src, maxDist)(ss)
+    }
     val q = stream.writeStream
       .format("memory").queryName(queryName)
       .outputMode(OutputMode.Update())
@@ -147,7 +150,7 @@ object StreamDedup {
   def runOnce(sourceDir: String, schema: org.apache.spark.sql.types.StructType,
               queryName: String, maxDist: Int = 3)(
       implicit spark: SparkSession): DataFrame =
-    driveToCompletion(sourceDir, schema, queryName, maxDist, text = false)
+    driveToCompletion(sourceDir, schema, queryName, maxDist, mode = "image")
 
   /** Streaming TEXT near-dedup: document rows → 64-bit SimHash (inside
     * the stream) → the SAME pigeonhole block state machine as the image
@@ -170,8 +173,39 @@ object StreamDedup {
   def runOnceText(sourceDir: String, schema: org.apache.spark.sql.types.StructType,
                   queryName: String, maxDist: Int = 3)(
       implicit spark: SparkSession): DataFrame =
-    driveToCompletion(sourceDir, schema, queryName, maxDist, text = true)
+    driveToCompletion(sourceDir, schema, queryName, maxDist, mode = "text")
       .withColumnRenamed("phash", "simhash")
+
+  /** Planes for the streaming embedding signature: a 64-bit sign-random-
+    * projection is the embedding's SimHash — hamming between signatures is
+    * ∝ the angle between the vectors (64 × θ/π in expectation), so the
+    * pigeonhole block state machine detects semantic near-dups exactly at
+    * the signature level. */
+  val EmbSigPlanes = 64
+
+  /** Streaming EMBEDDING near-dedup — the third modality of the one block-
+    * state kernel (image pHash, text SimHash, and here the embedding's
+    * sign-bit LSH signature, `Ann.lshBucket` at 64 planes, computed INSIDE
+    * the stream): a vector is a near-dup iff its signature lies within
+    * hamming `maxDist` of any earlier arrival's. Input (id, embedding:
+    * Array[Float]); same id-ordered arrival contract as `runOnce`. */
+  def embNearDupStream(vecs: DataFrame, maxDist: Int = 3,
+                       maxBucketState: Int = DefaultMaxBucketState)(
+      implicit spark: SparkSession): Dataset[BlockVerdict] = {
+    import spark.implicits._
+    val hashed = vecs.select("id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, v) => (id, graft.ann.Ann.lshBucket(v, EmbSigPlanes)) }
+      .toDF("id", "phash")
+    nearDupStream(hashed, maxDist, maxBucketState)
+  }
+
+  /** Drive a (id, embedding) file source to completion and return collapsed
+    * per-vector verdicts (id, esig, is_dup, any_bucket_full). */
+  def runOnceEmb(sourceDir: String, schema: org.apache.spark.sql.types.StructType,
+                 queryName: String, maxDist: Int = 3)(
+      implicit spark: SparkSession): DataFrame =
+    driveToCompletion(sourceDir, schema, queryName, maxDist, mode = "emb")
+      .withColumnRenamed("phash", "esig")
 
   /** Micro-batch harness shared by the spec and the catalog query: write
     * `df` as `nSlices` id-ranged parquet files under a fresh `base`

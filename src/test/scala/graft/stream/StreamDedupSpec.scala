@@ -61,6 +61,38 @@ class StreamDedupSpec extends AnyFunSuite {
     StreamDedup.deleteTree(base)
   }
 
+  test("EMBEDDING stream (sign-LSH signature inside the stream) == batch oracle over signatures") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // originals: seeded random vectors; near-dups: small perturbations of
+    // the first 20 → signatures within a few bits; distinct vectors far
+    val rnd = new java.util.Random(41)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextFloat() * 2 - 1)
+    val originals = (0L until 80L).map(i => (i, vec()))
+    val variants = (0 until 20).map { i =>
+      val v = originals(i)._2.clone()
+      v(3) += 0.05f; v(17) -= 0.05f
+      (100L + i, v)
+    }
+    val vecsAll = (originals ++ variants).sortBy(_._1)
+    val df = vecsAll.toDF("id", "embedding")
+
+    val base = java.nio.file.Files.createTempDirectory("streamemb").toString
+    val flat = StreamDedup.writeIdOrderedSlices(df, nSlices = 3, sliceSize = 50L, base)
+    val got = StreamDedup.runOnceEmb(flat, df.schema, "streamemb_test", maxDist = 6)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_dup")).toMap
+
+    val hashed = vecsAll
+      .map { case (id, v) => (id, graft.ann.Ann.lshBucket(v, StreamDedup.EmbSigPlanes)) }
+      .toDF("id", "phash")
+    val want = StreamDedup.nearDupBatch(hashed, maxDist = 6)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_dup")).toMap
+    assert(want.values.exists(identity) && want.values.exists(!_),
+      "corpus must contain both near-dups and originals under signature dist 6")
+    assert(got === want)
+    StreamDedup.deleteTree(base)
+  }
+
   test("saturated bucket: distinct-only state, stops growing, keeps matching, flags loudly") {
     implicit val s: SparkSession = spark
     import s.implicits._
