@@ -107,9 +107,11 @@ object Bench {
     * of inferring it from query scatter. */
   val CanaryRows = 300000000L
   def canaryOnce(spark: SparkSession): Double = {
-    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
     val t0 = System.nanoTime()
-    spark.range(CanaryRows).select(sum(xxhash64(col("id")))).head()
+    // pmod bounds the addend so the ANSI-mode sum cannot overflow Long
+    // (3e8 rows × 999 max ≪ Long.Max); the hash is still the work
+    spark.range(CanaryRows).select(sum(pmod(xxhash64(col("id")), lit(1000L)))).head()
     (System.nanoTime() - t0) / 1e9
   }
 

@@ -69,24 +69,30 @@ object DedupService {
       TextLsh(threshold, numHashes, bands, maxBucket),
       keepLabelVersions, compactEvery, labelRangeWidth)
 
-  /** sbt -batch 'runMain graft.dedup.DedupService <sfDir> <stateDir> [batchSize] [compactEvery]'
+  /** sbt -batch 'runMain graft.dedup.DedupService <sfDir> <stateDir> [batchSize] [compactEvery] [labelRangeWidth]'
     * Parallelism follows SPARK_GRAFT_CPUS (default 32) like Bench /
-    * ServiceMain, so service drives use the protocol's parallelism. */
+    * ServiceMain, so service drives use the protocol's parallelism.
+    * `labelRangeWidth` sizes the label buckets to the corpus (the default
+    * targets billion-row id spaces; a small drive passes ~batchSize so the
+    * O(dirty) commit shape is visible at sandbox scale). */
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: DedupService <sfDir> <stateDir> [batchSize] [compactEvery]")
+    require(args.length >= 2,
+      "usage: DedupService <sfDir> <stateDir> [batchSize] [compactEvery] [labelRangeWidth]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     implicit val spark: SparkSession = graft.spark.Sessions.local(cpus, "dedup-service")
     try {
       val docs = graft.queries.Tables.documents(spark, args(0)).select("doc_id", "text")
       val batchSize = if (args.length > 2) args(2).toLong else 500L
       val compactEvery = if (args.length > 3) args(3).toInt else 0
-      val head = run(docs, args(1), batchSize, compactEvery = compactEvery)
+      val width = if (args.length > 4) args(4).toLong else IndexService.DefaultLabelRangeWidth
+      val head = run(docs, args(1), batchSize, compactEvery = compactEvery,
+        labelRangeWidth = width)
       val lbl = labels(args(1))
       val kept = lbl.where(col("id") === col("cluster_id")).count()
       val stats = IndexService.commitStats(args(1))
-      val dirs = stats.map(s => s"${s._3}+${s._4}").mkString(",")
+      val dirs = stats.map(s => s"${s._3}w+${s._4}c/${s._5}r").mkString(",")
       println(s"[dedup-service] head=v${head.version} cursor=${head.cursor} " +
-        s"docs=${lbl.count()} kept=$kept written+carried_dirs=[$dirs]")
+        s"docs=${lbl.count()} kept=$kept commits(written+carried/rows)=[$dirs]")
     } finally spark.stop()
   }
 }

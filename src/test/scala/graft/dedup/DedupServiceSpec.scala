@@ -176,6 +176,31 @@ class DedupServiceSpec extends AnyFunSuite {
     } finally graft.stream.StreamDedup.deleteTree(state)
   }
 
+  test("the dirty-bucket label read is directory-pruned (isin on the lb partition column)") {
+    import spark.implicits._
+    val state = tmpState()
+    try {
+      // a labels-shaped table written exactly like IndexService writes it
+      val rows = (0L until 200L).map(i => (i, i))
+      rows.toDF("id", "cluster_id")
+        .withColumn("lb", (col("cluster_id") / lit(16L)).cast("long"))
+        .repartition(col("lb"))
+        .write.partitionBy("lb").parquet(s"$state/v1")
+      // the same filter shape the dirty rewrite uses (Long literals against
+      // the inferred partition column — coercion must not defeat pruning)
+      val dirty = Seq(1L, 3L)
+      val scan = spark.read.parquet(s"$state/v1")
+        .where(col("lb").isin(dirty.map(java.lang.Long.valueOf): _*))
+      assert(scan.count() === 32L)
+      val scanNode = scan.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      assert(scanNode.partitionFilters.nonEmpty, "lb filter did not land as a partition filter")
+      assert(scanNode.selectedPartitions.partitionCount === 2,
+        s"read ${scanNode.selectedPartitions.partitionCount} of 13 partitions — not pruned to the dirty set")
+    } finally graft.stream.StreamDedup.deleteTree(state)
+  }
+
   test("empty id ranges advance the cursor without a version bump") {
     val state = tmpState()
     try {
