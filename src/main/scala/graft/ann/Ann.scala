@@ -197,8 +197,9 @@ object Ann {
     * appends against centroids the vectors table wasn't partitioned by. */
   private def checkNLists(dir: String, found: Int): Unit = {
     require(java.nio.file.Files.exists(nListsFile(dir)),
-      s"no complete IVF index at $dir (NLISTS missing — build writes it last, " +
-        "so a crashed build reads as absent, not as a usable index)")
+      s"no complete IVF index at $dir (NLISTS missing — build writes it last, so a " +
+        "crashed build reads as absent; an index built before the NLISTS marker " +
+        "existed needs a one-time rebuild)")
     val stored = new String(
       java.nio.file.Files.readAllBytes(nListsFile(dir)), "UTF-8").trim.toInt
     require(stored == found,
@@ -224,7 +225,10 @@ object Ann {
     ivfAssign(emb, centroids).join(emb, "vec_id")
       .repartition(col("list_id")) // one file per list dir
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/vectors")
-    java.nio.file.Files.write(nListsFile(dir), nLists.toString.getBytes("UTF-8"))
+    // the ACTUAL centroid count, not the requested nLists — ivfCentroids
+    // caps the table at the corpus size, and the guard compares against
+    // the table (a corpus smaller than nLists must not wedge the index)
+    java.nio.file.Files.write(nListsFile(dir), centroids.length.toString.getBytes("UTF-8"))
   }
 
   /** Append a batch to a persisted IVF index with FROZEN centroids — the

@@ -29,20 +29,12 @@ import org.apache.spark.sql.functions._
  */
 object IvfService {
 
-  final case class Head(version: Long, cursor: Long)
+  type Head = graft.dedup.IndexService.Head
 
-  private def headFile(stateDir: String) = Paths.get(stateDir, "HEAD")
   private def inflightFile(stateDir: String) = Paths.get(stateDir, "INFLIGHT")
   def indexDir(stateDir: String): String = Paths.get(stateDir, "index").toString
 
-  def readHead(stateDir: String): Head = {
-    val f = headFile(stateDir)
-    if (!Files.exists(f)) Head(0L, 0L)
-    else {
-      val parts = new String(Files.readAllBytes(f), "UTF-8").trim.split("\\s+")
-      Head(parts(0).toLong, parts(1).toLong)
-    }
-  }
+  def readHead(stateDir: String): Head = graft.dedup.IndexService.readHead(stateDir)
 
   /** Excise a batch that crashed between its first index mutation and the
     * HEAD commit. No-op when the state is clean. */
@@ -72,38 +64,18 @@ object IvfService {
   def run(vecs: DataFrame, stateDir: String, batchSize: Long, nLists: Int = 16,
           iters: Int = 3, compactEvery: Int = 0)(
       implicit spark: SparkSession): Head = {
-    require(batchSize > 0, "batchSize must be positive")
     Files.createDirectories(Paths.get(stateDir))
     recover(stateDir)
-    var head = readHead(stateDir)
-    val maxIdRow = vecs.agg(max(col("vec_id")), min(col("vec_id"))).head()
-    if (maxIdRow.isNullAt(0)) return head
-    val maxId = maxIdRow.getLong(0)
-    require(maxIdRow.getLong(1) >= 0L, "vec_id must be non-negative")
-    require(maxId < Long.MaxValue - batchSize,
-      s"vec_id $maxId too close to Long.MaxValue for batchSize $batchSize")
     val idx = indexDir(stateDir)
-    while (head.cursor <= maxId) {
-      val nextRow = vecs.where(col("vec_id") >= head.cursor)
-        .agg(min(col("vec_id"))).head()
-      if (nextRow.isNullAt(0)) return head
-      val start = nextRow.getLong(0)
-      if (start > head.cursor) { // sparse-id jump, no mutation
-        graft.io.AtomicWrite.write(headFile(stateDir), s"${head.version} $start")
-        head = Head(head.version, start)
-      }
-      val batch = vecs
-        .where(col("vec_id") >= head.cursor && col("vec_id") < head.cursor + batchSize)
-        .select("vec_id", "embedding")
-      val newCursor = math.min(head.cursor + batchSize, maxId + 1)
-      graft.io.AtomicWrite.write(inflightFile(stateDir), head.cursor.toString)
+    // the shared cursor drain (ONE implementation of the commit protocol —
+    // min/max guards, sparse jumps, INFLIGHT/HEAD bracket live in
+    // IndexService.drain; only the per-batch index mutation is IVF's)
+    graft.dedup.IndexService.drain(
+      vecs.select("vec_id", "embedding"), "vec_id", stateDir, batchSize) { (batch, _, _) =>
       if (!Files.exists(Paths.get(idx, "NLISTS"))) Ann.buildIvfIndex(batch, idx, nLists, iters)
       else Ann.appendIvf(batch, idx)
-      graft.io.AtomicWrite.write(headFile(stateDir), s"${head.version + 1} $newCursor")
-      Files.delete(inflightFile(stateDir))
-      head = Head(head.version + 1, newCursor)
-      if (compactEvery > 0 && head.version % compactEvery == 0) Ann.compactIvf(idx)
+    } { (committed, _) =>
+      if (compactEvery > 0 && committed.version % compactEvery == 0) Ann.compactIvf(idx)
     }
-    head
   }
 }

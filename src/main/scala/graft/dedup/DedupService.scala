@@ -43,6 +43,16 @@ object DedupService {
       LshIndex.append(batch, idxDir, numHashes, bands)
     def compact(idxDir: String)(implicit s: SparkSession): Unit =
       LshIndex.compact(idxDir)
+    /** A pre-round-6 committed LSH index never wrote PARAMS; backfill it
+      * from this modality's configuration (the legacy contract trusted the
+      * caller to pass build-consistent parameters — adoption preserves
+      * exactly that trust, once, and the guard takes over after). */
+    override def adoptLegacyIndex(idxDir: String)(implicit s: SparkSession): Unit = {
+      val params = java.nio.file.Paths.get(idxDir, "PARAMS")
+      if (built(idxDir) && !Files.exists(params))
+        java.nio.file.Files.write(params,
+          s"$numHashes $bands ${LshIndex.PrefixBuckets}".getBytes("UTF-8"))
+    }
   }
 
   def readHead(stateDir: String): Head = IndexService.readHead(stateDir)

@@ -32,6 +32,15 @@ private[graft] object IndexFiles {
       implicit spark: SparkSession): Unit =
     stagedRewrite(dir, sub, partitioned, partCol, _.where(pred))
 
+  /** Rewrite `dir/sub` through an arbitrary transform, partitioned by
+    * `partCol` (which the transform may introduce) — the legacy-layout
+    * migration behind `IndexService.migrateLegacy`. Same two-rename crash
+    * safety as compaction. */
+  def compactDirTransform(dir: String, sub: String, partCol: String,
+                          transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)(
+      implicit spark: SparkSession): Unit =
+    stagedRewrite(dir, sub, partitioned = true, partCol, transform)
+
   private def stagedRewrite(dir: String, sub: String, partitioned: Boolean,
                             partCol: String,
                             transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)(

@@ -21,6 +21,11 @@ trait ClusterModality {
   def tables: Seq[(String, Boolean, String)]
   /** True once a build has produced the index under `idxDir`. */
   def built(idxDir: String): Boolean
+  /** Adopt a COMMITTED index written by a pre-parameter-guard layout
+    * (e.g. backfill a missing PARAMS file from this modality's configured
+    * parameters — trusting the caller exactly as the legacy contract
+    * did). Only called on states with a committed HEAD; no-op default. */
+  def adoptLegacyIndex(idxDir: String)(implicit s: SparkSession): Unit = ()
   def build(batch: DataFrame, idxDir: String)(implicit s: SparkSession): Unit
   /** Batch-internal pairs for the FIRST batch (no index to probe yet). */
   def firstPairs(batch: DataFrame)(implicit s: SparkSession): DataFrame
@@ -73,6 +78,17 @@ trait ClusterModality {
  * recovery excises half-appended batches by rewriting the index tables
  * filtered to the committed cursor and deletes the orphan labels version
  * (hardlinked files delete like any other — links are per-version).
+ *
+ * Deliberate read-side trade-off: the fold's endpoint→representative
+ * lookup (`incrementalDelta` step 1) still SCANS the labels relation once
+ * per batch — a two-column columnar scan with the (small) endpoint set
+ * broadcast, no shuffle of the corpus side. Pruning it by id would need a
+ * second, id-bucketed copy of the labels (doubling every commit's write);
+ * the cluster-keyed layout was chosen because the WRITE path is the one
+ * that must be dirty-sized (a scan parallelizes across executors; a
+ * corpus-sized write per batch does not amortize). The dirty-bucket
+ * REWRITE read, by contrast, is partition-pruned (plan-asserted in
+ * DedupServiceSpec).
  */
 object IndexService {
 
@@ -165,6 +181,82 @@ object IndexService {
       .filter(d => d.isDirectory && d.getName.startsWith("lb="))
       .map(_.getName.drop(3).toLong).toSet
 
+  /** Migrate a state directory written by the pre-round-6 layout so the
+    * scaladoc's "on-disk contract carries over" holds LITERALLY: (1) a
+    * committed index without its parameter marker adopts the modality's
+    * configured parameters (the legacy trust model); (2) a committed FLAT
+    * labels version (no lb= bucket dirs) is rewritten range-bucketed via
+    * the shared crash-safe two-rename (a crash mid-migration rolls back
+    * on the next start). No-op on fresh or already-migrated state. */
+  private def migrateLegacy(stateDir: String, modality: ClusterModality,
+                            labelRangeWidth: Long)(
+      implicit spark: SparkSession): Unit = {
+    val head = readHead(stateDir)
+    if (head.version == 0L) return
+    modality.adoptLegacyIndex(indexDir(stateDir))
+    val labelsRoot = Paths.get(stateDir, "labels").toString
+    val sub = s"v${head.version}"
+    IndexFiles.recover(labelsRoot, sub) // crashed-migration rollback
+    val vdir = labelsDir(stateDir, head.version)
+    val flat = Option(vdir.toFile.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.endsWith(".parquet")) &&
+      !Option(vdir.toFile.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.isDirectory && f.getName.startsWith("lb="))
+    if (flat) {
+      val lb = lbOf(labelRangeWidth) _
+      IndexFiles.compactDirTransform(labelsRoot, sub, partCol = "lb",
+        _.select("id", "cluster_id").withColumn("lb", lb(col("cluster_id"))))
+      println(s"[index-service] migrated legacy flat labels $sub to lb buckets")
+    }
+  }
+
+  /** The id-range cursor drain shared by every resumable index service
+    * (this one and `graft.ann.IvfService` — ONE implementation of the
+    * subtle commit protocol): min/max guards, sparse-id jumps, and the
+    * INFLIGHT(cursor) → processBatch → HEAD-commit → INFLIGHT-delete
+    * bracket per batch. `processBatch(batch, head, newCursor)` runs every
+    * index mutation for the batch; its result feeds `afterCommit(committed
+    * head, result)` — the place for retention sweeps / metrics /
+    * compaction, AFTER the commit point so a crash there strands nothing.
+    * The caller runs its recovery BEFORE draining. */
+  private[graft] def drain[A](rows: DataFrame, idCol: String, stateDir: String,
+      batchSize: Long)(
+      processBatch: (DataFrame, Head, Long) => A)(
+      afterCommit: (Head, A) => Unit): Head = {
+    require(batchSize > 0, "batchSize must be positive")
+    var head = readHead(stateDir)
+    val maxIdRow = rows.agg(max(col(idCol)), min(col(idCol))).head()
+    if (maxIdRow.isNullAt(0)) return head // nothing to do
+    val maxId = maxIdRow.getLong(0)
+    require(maxIdRow.getLong(1) >= 0L,
+      s"$idCol must be non-negative (id-range batching from 0)")
+    require(maxId < Long.MaxValue - batchSize,
+      s"$idCol $maxId too close to Long.MaxValue for batchSize $batchSize (cursor overflow)")
+    while (head.cursor <= maxId) {
+      // skip straight to the next existing id — sparse id spaces (holes,
+      // snowflake-style ids) must cost one aggregation, not
+      // gap/batchSize empty-range iterations
+      val nextRow = rows.where(col(idCol) >= head.cursor).agg(min(col(idCol))).head()
+      if (nextRow.isNullAt(0)) return head
+      val start = nextRow.getLong(0)
+      if (start > head.cursor) {
+        // cursor jump over the hole: no version bump, no mutation
+        writeAtomic(headFile(stateDir), s"${head.version} $start")
+        head = Head(head.version, start)
+      }
+      val batch = rows
+        .where(col(idCol) >= head.cursor && col(idCol) < head.cursor + batchSize)
+      val newCursor = math.min(head.cursor + batchSize, maxId + 1)
+      writeAtomic(inflightFile(stateDir), head.cursor.toString)
+      val result = processBatch(batch, head, newCursor)
+      writeAtomic(headFile(stateDir), s"${head.version + 1} $newCursor") // commit point
+      Files.delete(inflightFile(stateDir))
+      head = Head(head.version + 1, newCursor)
+      afterCommit(head, result)
+    }
+    head
+  }
+
   /** Process every pending batch of `rows` (id-range batching from the
     * committed cursor; `rows` needs `modality.idCol` plus whatever the
     * modality hashes; ids are assigned monotonically — see DedupService).
@@ -175,38 +267,15 @@ object IndexService {
           compactEvery: Int = 0, labelRangeWidth: Long = DefaultLabelRangeWidth)(
       implicit spark: SparkSession): Head = {
     import spark.implicits._
-    require(batchSize > 0, "batchSize must be positive")
     require(keepLabelVersions >= 1, "keepLabelVersions must be >= 1")
     require(labelRangeWidth > 0, "labelRangeWidth must be positive")
     val idc = modality.idCol
     Files.createDirectories(Paths.get(stateDir, "labels"))
     recover(stateDir, modality)
-    var head = readHead(stateDir)
-    val maxIdRow = rows.agg(max(col(idc)), min(col(idc))).head()
-    if (maxIdRow.isNullAt(0)) return head // nothing to do
-    val maxId = maxIdRow.getLong(0)
-    require(maxIdRow.getLong(1) >= 0L,
-      s"$idc must be non-negative (id-range batching from 0)")
-    require(maxId < Long.MaxValue - batchSize,
-      s"$idc $maxId too close to Long.MaxValue for batchSize $batchSize (cursor overflow)")
+    migrateLegacy(stateDir, modality, labelRangeWidth)
     val idx = indexDir(stateDir)
     val lb = lbOf(labelRangeWidth) _
-    while (head.cursor <= maxId) {
-      // skip straight to the next existing id — sparse id spaces (holes,
-      // snowflake-style ids) must cost one aggregation, not
-      // gap/batchSize empty-range iterations
-      val nextRow = rows.where(col(idc) >= head.cursor).agg(min(col(idc))).head()
-      if (nextRow.isNullAt(0)) return head
-      val start = nextRow.getLong(0)
-      if (start > head.cursor) {
-        // cursor jump over the hole: no version bump, no mutation
-        writeAtomic(headFile(stateDir), s"${head.version} $start")
-        head = Head(head.version, start)
-      }
-      val batch = rows
-        .where(col(idc) >= head.cursor && col(idc) < head.cursor + batchSize)
-      val newCursor = math.min(head.cursor + batchSize, maxId + 1)
-      writeAtomic(inflightFile(stateDir), head.cursor.toString)
+    drain(rows, idc, stateDir, batchSize) { (batch, head, _) =>
       val vdir = labelsDir(stateDir, head.version + 1)
       val (writtenDirs, carriedDirs, writtenRows) =
         if (!modality.built(idx)) {
@@ -262,27 +331,25 @@ object IndexService {
           Dedup.releaseCheckpoint(pairs)
           (written.size, carried, obs.get("rows").asInstanceOf[Long])
         }
-      writeAtomic(headFile(stateDir), s"${head.version + 1} $newCursor") // commit point
-      Files.delete(inflightFile(stateDir))
+      (writtenDirs, carriedDirs, writtenRows)
+    } { case (committed, (writtenDirs, carriedDirs, writtenRows)) =>
       // metrics AFTER the commit (metadata only, not part of the commit)
       Files.write(commitsFile(stateDir),
-        (s"""{"version": ${head.version + 1}, "cursor": $newCursor, """ +
+        (s"""{"version": ${committed.version}, "cursor": ${committed.cursor}, """ +
           s""""written_dirs": $writtenDirs, "carried_dirs": $carriedDirs, """ +
           s""""written_rows": $writtenRows}""" + "\n").getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       // retention, after the commit (old versions are unreferenced).
       // Sweep EVERY version at-or-below the floor, not just one — a crash
       // between the commit and this delete must not strand a version
-      val floor = head.version + 1 - keepLabelVersions
+      val floor = committed.version - keepLabelVersions
       Option(Paths.get(stateDir, "labels").toFile.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("v") &&
           f.getName.drop(1).toLongOption.exists(_ <= floor))
         .foreach(f => graft.stream.StreamDedup.deleteTree(f.getPath))
-      head = Head(head.version + 1, newCursor)
-      if (compactEvery > 0 && head.version % compactEvery == 0)
+      if (compactEvery > 0 && committed.version % compactEvery == 0)
         modality.compact(idx)
     }
-    head
   }
 
   /** The per-commit metric records (version, cursor, written_dirs,

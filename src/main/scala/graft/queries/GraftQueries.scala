@@ -376,8 +376,7 @@ object GraftQueries {
     import s.implicits._
     val base = embeddings(s, d).where(col("vec_id") < EmbStreamOriginals)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    base.map { case (id, v) => (id, v) }
-      .union(base.map { case (id, v) => (EmbStreamOriginals + id, perturbEmb(v, id)) })
+    base.union(base.map { case (id, v) => (EmbStreamOriginals + id, perturbEmb(v, id)) })
       .toDF("id", "embedding")
   }
 

@@ -96,7 +96,11 @@ class BenchSpec extends AnyFunSuite {
     }
     val queries = Map("q_a" -> q("q_a"), "q_b" -> q("q_b"), "q_c" -> q("q_c"))
     Bench.measureQueries(s, "/unused", queries)
-    assert(order.toSeq == Seq("q_a", "q_b", "q_c", "q_a", "q_b", "q_c"),
+    // assert the two BASE passes only — a loaded host can legitimately
+    // push a trivial sample over the adaptive-dispute floor and append a
+    // 7th invocation (the arbitration mini-pass), which is not a bug
+    assert(order.length >= 6 &&
+      order.take(6) == Seq("q_a", "q_b", "q_c", "q_a", "q_b", "q_c"),
       s"expected two interleaved catalog passes, got $order")
   }
 }

@@ -72,6 +72,23 @@ class IvfServiceSpec extends AnyFunSuite {
     } finally graft.stream.StreamDedup.deleteTree(state)
   }
 
+  test("a first batch smaller than nLists does not wedge later appends (NLISTS = actual count)") {
+    import spark.implicits._
+    val data = vecs(30)
+    val df = data.toDF("vec_id", "embedding")
+    val state = java.nio.file.Files.createTempDirectory("ivf-service-small").toString
+    try {
+      // first batch (10 vectors) trains fewer centroids than the requested
+      // nLists=16 — the guard must compare against the ACTUAL table, or
+      // every subsequent append throws and the service is stuck forever
+      val head = IvfService.run(df, state, batchSize = 10, nLists = 16, iters = 1)
+      assert(head.version === 3 && head.cursor === 30L)
+      val ids = spark.read.parquet(s"${IvfService.indexDir(state)}/vectors")
+        .select("vec_id").as[Long].collect()
+      assert(ids.length === 30 && ids.toSet.size === 30)
+    } finally graft.stream.StreamDedup.deleteTree(state)
+  }
+
   test("crash during the first build: state resets and the run completes") {
     import spark.implicits._
     val data = vecs(120)

@@ -201,6 +201,35 @@ class DedupServiceSpec extends AnyFunSuite {
     } finally graft.stream.StreamDedup.deleteTree(state)
   }
 
+  test("pre-round-6 state (flat labels, index without PARAMS) migrates on resume and converges") {
+    val state = tmpState()
+    try {
+      val half = docs.where(col("doc_id") < 30)
+      // construct the legacy on-disk layout by hand: a COMMITTED index
+      // without its PARAMS marker, a FLAT (un-bucketed) labels version,
+      // and HEAD pointing at them
+      LshIndex.build(half, s"$state/index", bands = 8)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(state, "index", "PARAMS"))
+      val legacy = Dedup.connectedComponents(
+        Dedup.minhashNearDups(half, threshold = 0.8, bands = 8, maxBucket = noCap)
+          .select("a", "b"),
+        half.select("doc_id"))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(state, "labels"))
+      legacy.coalesce(1).write.parquet(s"$state/labels/v1")
+      graft.io.AtomicWrite.write(java.nio.file.Paths.get(state, "HEAD"), "1 30")
+      // resume with the full corpus: PARAMS adopted, labels re-bucketed
+      // (crash-safe), the tail folds in — identical to batch mode
+      DedupService.run(docs, state, batchSize = 30, threshold = 0.8,
+        bands = 8, maxBucket = noCap, labelRangeWidth = 16)
+      assert(labelMap(DedupService.labels(state)) === batchModeLabels(docs))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(state, "index", "PARAMS")))
+      val head = DedupService.readHead(state)
+      val vdir = new java.io.File(s"$state/labels/v${head.version}")
+      assert(vdir.listFiles().exists(f => f.isDirectory && f.getName.startsWith("lb=")),
+        "migrated labels version is not bucketed")
+    } finally graft.stream.StreamDedup.deleteTree(state)
+  }
+
   test("empty id ranges advance the cursor without a version bump") {
     val state = tmpState()
     try {
