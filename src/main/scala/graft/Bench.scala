@@ -210,7 +210,12 @@ object Bench {
     // materialization, parquet page cache, JIT); pass 2 measures the
     // steady state a resident service would see.
     // host-noise canary bracketing every pass (adaptive pass included):
-    // constant work whose drift dates a degraded-host window in the record
+    // constant work whose drift dates a degraded-host window in the record.
+    // One DISCARDED warm-up first — the canary must measure the HOST, not
+    // session JIT: both r6 driver-protocol runs showed a reproducible
+    // ~4.4 s cold first sample vs ~0.5 s steady, which would set a ~10x
+    // "drift" on every perfectly healthy run
+    canaryOnce(spark)
     val canarySamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = measureQueries(spark, sfDir, SparkEntry.queries,
       onPassStart = _ => canarySamples += canaryOnce(spark))
