@@ -31,7 +31,8 @@ object DedupService {
                            bands: Int = 8, maxBucket: Int = Int.MaxValue)
       extends ClusterModality {
     val idCol = "doc_id"
-    val tables = Seq(("bands", true, "bpb"), ("shingles", false, "bpb"))
+    val tables = Seq(IndexTable("bands", partitioned = true, "bpb", "doc_id"),
+      IndexTable("shingles", partitioned = false, "bpb", "doc_id"))
     def built(idxDir: String): Boolean = Files.exists(Paths.get(idxDir, "bands"))
     def build(batch: DataFrame, idxDir: String)(implicit s: SparkSession): Unit =
       LshIndex.build(batch, idxDir, numHashes, bands)

@@ -5,6 +5,13 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** One persisted index table of a modality: its subdir (may be nested,
+  * e.g. "text/bands"), hive-partitioning, and the id column the
+  * crash-excision rewrite filters on (tables of one modality can disagree
+  * — the cross-signal index mixes doc_id and vec_id tables). */
+final case class IndexTable(sub: String, partitioned: Boolean,
+                            partCol: String, idCol: String)
+
 /**
  * A near-dup index family pluggable into the resumable service loop: one
  * persisted, incrementally-appendable index (LshIndex / PhashIndex shape)
@@ -16,9 +23,9 @@ import org.apache.spark.sql.functions._
 trait ClusterModality {
   /** id column of the input rows (doc_id / id / vec_id). */
   def idCol: String
-  /** Every persisted index table as (subdir, partitioned, partitionCol) —
-    * the crash-excision surface (`IndexFiles.rewriteFiltered`). */
-  def tables: Seq[(String, Boolean, String)]
+  /** Every persisted index table — the crash-excision surface
+    * (`IndexFiles.rewriteFiltered`). */
+  def tables: Seq[IndexTable]
   /** True once a build has produced the index under `idxDir`. */
   def built(idxDir: String): Boolean
   /** Adopt a COMMITTED index written by a pre-parameter-guard layout
@@ -146,10 +153,10 @@ object IndexService {
       if (head.version == 0L) {
         // crash during the very first build: nothing committed, drop all
         graft.stream.StreamDedup.deleteTree(idx)
-      } else modality.tables.foreach { case (sub, partitioned, partCol) =>
-        IndexFiles.recover(idx, sub)
-        IndexFiles.rewriteFiltered(idx, sub, partitioned,
-          col(modality.idCol) < head.cursor, partCol)
+      } else modality.tables.foreach { t =>
+        IndexFiles.recover(idx, t.sub)
+        IndexFiles.rewriteFiltered(idx, t.sub, t.partitioned,
+          col(t.idCol) < head.cursor, t.partCol)
       }
       graft.stream.StreamDedup.deleteTree(labelsDir(stateDir, head.version + 1).toString)
       println(s"[index-service] recovered: excised uncommitted batch at cursor=$started")

@@ -27,7 +27,7 @@ object PhashService {
   final case class PhashBlocks(maxDist: Int = 3, maxBucket: Int = Int.MaxValue)
       extends ClusterModality {
     val idCol = "id"
-    val tables = Seq(("blocks", true, "bpb"))
+    val tables = Seq(IndexTable("blocks", partitioned = true, "bpb", "id"))
     def built(idxDir: String): Boolean = Files.exists(Paths.get(idxDir, "blocks"))
     def build(batch: DataFrame, idxDir: String)(implicit s: SparkSession): Unit =
       PhashIndex.build(batch.select("id", "phash"), idxDir, maxDist)

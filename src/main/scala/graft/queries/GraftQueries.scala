@@ -538,6 +538,63 @@ object GraftQueries {
       Dedup.releaseCheckpoint(out)
     }
 
+  /** Persisted EmbService state over the fixed 500-vector slice, driven in
+    * 4 batches (marker-shared; re-invocation is the committed no-op
+    * resume). Parameters match the q_ann_lsh_neardups family (threshold
+    * 0.2, nPlanes 8) so the driver-side pair dump oracles the clustering;
+    * UNCAPPED so the incremental == batch identity is unconditional (at
+    * the verify scale no bucket reaches the 256 cap, making the capped
+    * dump's pair set identical — the same empirical regime q_ann_lsh_*
+    * already certify green). */
+  val EmbSvcStatePath = "/tmp/graft_oracle/emb_svc_state"
+  val EmbSvcRows = 500L
+  private def embSvcStateDir(s: SparkSession, d: String): String = {
+    implicit val sp: SparkSession = s
+    val marker = java.nio.file.Paths.get(EmbSvcStatePath + ".source")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == d
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      graft.stream.StreamDedup.deleteTree(EmbSvcStatePath)
+    }
+    graft.ann.EmbService.run(
+      embeddings(s, d).where(col("vec_id") < EmbSvcRows),
+      EmbSvcStatePath, batchSize = 125, threshold = 0.2, nPlanes = 8,
+      labelRangeWidth = 125)
+    if (!fresh) {
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, d.getBytes("UTF-8"))
+    }
+    EmbSvcStatePath
+  }
+
+  /** Persisted CrossSignalService state over the joined (documents ⋈
+    * embeddings) 500-row slice — BOTH signal indexes probed per batch,
+    * one fold (marker-shared; resume no-op on re-invocation). Text
+    * parameters match the q_d3 dump family, embedding parameters the
+    * q_ann_lsh family; uncapped for the unconditional identity. */
+  val CrossSvcStatePath = "/tmp/graft_oracle/cross_svc_state"
+  private def crossSvcStateDir(s: SparkSession, d: String): String = {
+    implicit val sp: SparkSession = s
+    val marker = java.nio.file.Paths.get(CrossSvcStatePath + ".source")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == d
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      graft.stream.StreamDedup.deleteTree(CrossSvcStatePath)
+    }
+    val rows = TextQueries.dedupDocs(s, d).select("doc_id", "text")
+      .join(embeddings(s, d).selectExpr("vec_id AS doc_id", "embedding"), "doc_id")
+    graft.dedup.CrossSignalService.run(rows, CrossSvcStatePath, batchSize = 125,
+      textThreshold = 0.8, numHashes = 64, bands = 8,
+      embThreshold = 0.2, nPlanes = 8, labelRangeWidth = 125)
+    if (!fresh) {
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, d.getBytes("UTF-8"))
+    }
+    CrossSvcStatePath
+  }
+
   private def imgRasterDump(s: SparkSession): DataFrame = {
     implicit val sp: SparkSession = s
     sharedDump(s, ImgRasterDumpPath, s"images:$ImgPipelineRows") { path =>
@@ -907,6 +964,36 @@ object GraftQueries {
       graft.dedup.PhashService.labels(state)
     }),
 
+    // RESUMABLE EMBEDDING near-dup SERVICE — the probe triad's third leg
+    // end-to-end (text q_d8/DedupService, image q_img_svc_clusters, and
+    // here the persisted sign-LSH embedding index under the same
+    // IndexService loop): 4 batches probed → appended → folded; committed
+    // labels must equal batch-mode lshClusters. DuckDB closes the
+    // INDEPENDENT driver-side cosine pair dump with the recursive
+    // reachability CTE.
+    "q_emb_svc_clusters" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      lshPairsDump(s, d) // oracle side: same-kernel cosine pair dump
+      val state = embSvcStateDir(s, d)
+      graft.ann.EmbService.labels(state)
+    }),
+
+    // RESUMABLE CROSS-SIGNAL SERVICE — q_d10's "either signal merges the
+    // cluster" decision maintained incrementally with REAL probes: per
+    // batch BOTH persisted indexes (text MinHash-LSH + embedding
+    // sign-LSH) are probed, the pair relations union over the shared id
+    // space, one fold commits atomically. DuckDB recomputes both signals
+    // independently (driver-side same-kernel dumps) and closes the union
+    // transitively.
+    "q_cross_svc_clusters" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      minhashPairsDump(s, d) // oracle side: text signal dump
+      lshPairsDump(s, d) //     oracle side: embedding signal dump
+      val state = crossSvcStateDir(s, d)
+      graft.dedup.CrossSignalService.labels(state)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
     // RESUMABLE EMBEDDING-INDEX SERVICE: IVF build + frozen-centroid
     // appends under atomic cursor commits (crash-excised, duplicate-free —
     // the service wrapper Ann.appendIvf alone lacks), then a full probe
@@ -1167,6 +1254,36 @@ object GraftQueries {
                      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7),
           epairs AS (SELECT a, b FROM read_parquet('$LshPairsDumpPath/*.parquet')
                      WHERE a < 500 AND b < 500),
+          pairs AS (SELECT a, b FROM tpairs UNION SELECT a, b FROM epairs),
+          edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+          reach(u, m) AS (
+            SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+            UNION
+            SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u)
+          SELECT u AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1""",
+    // the embedding service's labels == transitive closure of the
+    // independent driver-side cosine pair dump (restricted to the service
+    // slice — a no-op at the verify scale where embeddings == 500)
+    "q_emb_svc_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+            SELECT a, b FROM read_parquet('$LshPairsDumpPath/*.parquet')
+            WHERE a < $EmbSvcRows AND b < $EmbSvcRows),
+          edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+          reach(u, m) AS (
+            SELECT vec_id, vec_id FROM embeddings WHERE vec_id < $EmbSvcRows
+            UNION
+            SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u)
+          SELECT CAST(u AS BIGINT) AS id, CAST(min(m) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY 1""",
+    // the cross-signal service's labels == closure of the UNION of both
+    // independent same-kernel pair dumps (text MinHash + embedding cosine)
+    "q_cross_svc_clusters" ->
+      s"""WITH RECURSIVE tpairs AS (
+            SELECT a, b FROM read_parquet('$MinhashPairsDumpPath/*.parquet')
+            WHERE a < 500 AND b < 500),
+          epairs AS (
+            SELECT a, b FROM read_parquet('$LshPairsDumpPath/*.parquet')
+            WHERE a < 500 AND b < 500),
           pairs AS (SELECT a, b FROM tpairs UNION SELECT a, b FROM epairs),
           edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
           reach(u, m) AS (
