@@ -150,5 +150,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(QuadKeyFunctions.Name),
       new ExpressionInfo(classOf[QuadKeyCell].getName, QuadKeyFunctions.Name),
       (exprs: Seq[Expression]) => QuadKeyCell(exprs(0), exprs(1), exprs(2))))
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }

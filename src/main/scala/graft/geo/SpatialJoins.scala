@@ -53,6 +53,25 @@ object SpatialJoins {
       .drop("left", "bottom", "right", "top")
   }
 
+  /** Point-in-bbox via the NAIVE interval-predicate spelling (`lon BETWEEN
+    * left AND right AND lat BETWEEN bottom AND top`, no cell index), planned
+    * by the injected `graft.plans.RangeJoinStrategy` as a broadcast
+    * interval-tree join instead of the BroadcastNestedLoopJoin stock Spark
+    * produces for this shape. Same output contract as [[pointInRegion]]
+    * (one row per (point, containing region)); complements the cell-cover
+    * path — this one needs NO precomputed cover and indexes the longitude
+    * interval, refining latitude as the residual. */
+  def rangeJoinBBox(points: DataFrame, regions: Seq[Region])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.plans.RangeJoin.register(spark)
+    val r = regions.toDF()
+    points.join(r,
+      points("lon") >= r("left") && points("lon") <= r("right") &&
+        points("lat") >= r("bottom") && points("lat") <= r("top"))
+      .drop("left", "bottom", "right", "top")
+  }
+
   /** A polygonal region: closed ring of (lon, lat), last point == first
     * (the shape `Slippy.toPolygon` produces; arbitrary simple rings OK). */
   final case class PolyRegion(region_id: Long, ring: Array[Array[Double]])

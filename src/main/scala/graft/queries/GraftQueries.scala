@@ -612,6 +612,17 @@ object GraftQueries {
         .groupBy(col("region_id")).agg(count(lit(1)).as("n"))
     }),
 
+    // the same point-in-bbox answer via the CUSTOM PHYSICAL OPERATOR
+    // (graft.plans.BroadcastRangeJoinExec, planned by the injected
+    // RangeJoinStrategy from the naive BETWEEN-predicate join Spark would
+    // otherwise run as BroadcastNestedLoopJoin) — no cell cover, interval
+    // tree on the longitude range, latitude refined as residual
+    "q_geo_range_join" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      SpatialJoins.rangeJoinBBox(eventPoints(s, d), TestRegions)
+        .groupBy(col("region_id")).agg(count(lit(1)).as("n"))
+    }),
+
     "q_geo_knn" -> ((s, d) => {
       implicit val sp: SparkSession = s
       SpatialJoins.knnBruteForce(eventPoints(s, d), KnnQueries, 5)
@@ -1364,6 +1375,20 @@ object GraftQueries {
                  md5(hex(mvt)) AS mvt_md5
           FROM read_parquet('$MvtBlobDumpPath/*.parquet')""",
     "q_geo_pip_join" ->
+      """WITH pts AS (SELECT event_id AS pid,
+                             3.0 + CAST(event_id % 2000 AS DOUBLE)/1000.0 AS lon,
+                             50.0 + CAST(event_id*3 % 1500 AS DOUBLE)/1000.0 AS lat FROM events),
+              regions(region_id, lft, bottom, rght, top) AS (VALUES
+                (1, 3.2, 50.2, 3.8, 50.8), (2, 4.0, 50.5, 4.6, 51.1),
+                (3, 3.5, 50.9, 4.9, 51.4), (4, 4.5, 50.1, 4.9, 50.45))
+         SELECT CAST(region_id AS BIGINT) AS region_id, count(*) AS n
+         FROM pts JOIN regions ON lon >= lft AND lon <= rght AND lat >= bottom AND lat <= top
+         GROUP BY 1""",
+    // identical relational answer to q_geo_pip_join — the Spark side runs
+    // through BroadcastRangeJoinExec instead of the cell-cover equi-join,
+    // so the oracle doubles as a cross-check that the custom operator and
+    // the indexed plan agree with the plain SQL semantics
+    "q_geo_range_join" ->
       """WITH pts AS (SELECT event_id AS pid,
                              3.0 + CAST(event_id % 2000 AS DOUBLE)/1000.0 AS lon,
                              50.0 + CAST(event_id*3 % 1500 AS DOUBLE)/1000.0 AS lat FROM events),

@@ -173,7 +173,67 @@ object TextQueries {
       documents(s, d)
         .select(col("doc_id"),
           (col("n_chars").cast("double") / size(split(col("text"), " ", -1)).cast("double"))
-            .as("chars_per_token")))
+            .as("chars_per_token"))),
+
+    // BENCHMARK DECONTAMINATION — the training-data hygiene step next to
+    // dedup: any training document sharing a 13-word n-gram with the eval
+    // set (here: doc_id % 5 == 0 plays the held-out benchmark) is flagged
+    // with its distinct-overlap count (the GPT-3/Llama 13-gram rule). The
+    // eval side is BROADCAST — at 100 TB the benchmark suite is tiny vs
+    // the corpus, so the scan stays one-pass/narrow; at corpus scale the
+    // join key would be xxhash64(ngram) to move 8 bytes instead of ~90,
+    // kept as the raw string here for exact oracle comparability.
+    "q_t5_decontam" -> ((s, d) => {
+      val ng = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+        .where(size(col("ws")) >= 13)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("ws")) - 12),
+          i => concat_ws(" ", slice(col("ws"), i, lit(13))))).as("ng"))
+        .dropDuplicates("doc_id", "ng")
+      ng.where(col("doc_id") % 5 =!= 0)
+        .join(broadcast(ng.where(col("doc_id") % 5 === 0)
+          .select(col("ng"), col("doc_id").as("eval_doc"))), "ng")
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("ng")).as("n_contaminated"),
+          min(col("eval_doc")).as("eval_doc"))
+    }),
+
+    // DETERMINISTIC MIXTURE SAMPLING — per-source keep rates applied via a
+    // seedless MINSTD LCG over the doc id, so the sampled corpus is a pure
+    // function of the data (re-runs, retries and the DuckDB oracle all
+    // select the identical rows — the property Spark's sample() lacks).
+    // Narrow decision + one aggregation exchange; the same predicate IS
+    // the corpus filter at 100 TB (no shuffle to sample).
+    "q_mix_sample" -> ((s, d) => {
+      val ratePct = lit(25) + (substring(col("source"), 4, 10).cast("int") * 7) % 60
+      val kept = (col("doc_id") * 48271) % 2147483647L % 100 < ratePct
+      documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          max(ratePct.cast("long")).as("rate_pct"))
+    }),
+
+    // SEQUENCE PACKING — concat-and-chunk: documents are concatenated in
+    // id order within a source shard and split into fixed 512-token
+    // training sequences; each doc reports the sequence span it lands in.
+    // The window is PARTITIONED BY source (the shard): packing is
+    // sequential within a shard by construction, embarrassingly parallel
+    // across shards — the only layout a 100 TB pretraining pack can use
+    // (a global cumulative sum would serialize the corpus).
+    "q_pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = size(split(col("text"), " ", -1)).cast("long")
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .select(col("doc_id"), col("source"), tok.as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / 512).as("start_seq"),
+          floor((col("cum") - 1) / 512).as("end_seq"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -217,6 +277,34 @@ object TextQueries {
     "q_t4_bpe_tokens" ->
       """SELECT doc_id, CAST(length(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS BIGINT)
                 AS n_bpe_tokens FROM documents""",
+    "q_t5_decontam" ->
+      """WITH ngd AS (
+           SELECT DISTINCT doc_id, array_to_string(list_slice(ws, g, g + 12), ' ') AS ng
+           FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 12)) AS g
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+                 WHERE len(ws) >= 13))
+         SELECT a.doc_id, count(DISTINCT a.ng) AS n_contaminated, min(b.doc_id) AS eval_doc
+         FROM ngd a JOIN ngd b ON a.ng = b.ng AND b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+         GROUP BY 1""",
+    "q_mix_sample" ->
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN (doc_id * 48271) % 2147483647 % 100
+                              < 25 + (CAST(substring(source, 4) AS INT) * 7) % 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(max(25 + (CAST(substring(source, 4) AS INT) * 7) % 60) AS BIGINT) AS rate_pct
+         FROM documents GROUP BY source""",
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+                      CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM t)
+         SELECT doc_id, source, n_tokens,
+                (cum - n_tokens) // 512 AS start_seq,
+                (cum - 1) // 512 AS end_seq
+         FROM c""",
     // independent cluster recomputation: the same exact-Jaccard pair SQL
     // as q_d6, closed transitively with a recursive reachability CTE;
     // cluster id = min reachable doc id, singletons label themselves
