@@ -24,8 +24,10 @@ object RangeJoinAB {
     graft.plans.RangeJoin.register(spark)
     import spark.implicits._
 
-    // points over [0, 1000); intervals of width ~2 so hits stay sparse
-    // (~0.8 matches/point) and the join cost is dominated by probing
+    // points over [0, 1000); interval width scales as 1000/m so expected
+    // hits stay ~1/point regardless of build size — the A/B then measures
+    // pure probe cost (tree stab vs m predicate evals), not output volume
+    val width = 1000.0 / m
     val pts = spark.range(n.toLong)
       .select(col("id").as("pid"),
         (col("id") % 100000).cast("double") / 100.0 as "x")
@@ -33,7 +35,7 @@ object RangeJoinAB {
     pts.count()
     val ivs = (0 until m).map { j =>
       val lo = (j * 2654435761L % 99800L) / 100.0
-      (j.toLong, lo, lo + 2.0)
+      (j.toLong, lo, lo + width)
     }.toDF("iid", "lo", "hi").cache()
     ivs.count()
 
