@@ -215,6 +215,36 @@ object TextQueries {
           max(ratePct.cast("long")).as("rate_pct"))
     }),
 
+    // THE TERMINAL CORPUS-HYGIENE COMPOSITION — what a pretraining pipeline
+    // actually ships: dedup and decontamination folded into ONE clean
+    // training corpus. Training docs (non-eval) are clustered over the
+    // shared Jaccard pair dump restricted to train endpoints, the keep-list
+    // drops near-dups, and the decontamination relation (any 13-gram shared
+    // with the eval slice, q_t5's join) is anti-joined off the keepers.
+    // Each stage reuses the engine's existing operators — the query
+    // measures the composition, the oracle recomputes all three stages
+    // independently in SQL.
+    "q_d13_clean_corpus" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val train = dedupDocs(s, d).where(col("doc_id") % 5 =!= 0)
+      val clusters = graft.dedup.Dedup.connectedComponents(
+        jaccardPairsDump(s, d)
+          .where(col("a") % 5 =!= 0 && col("b") % 5 =!= 0).select("a", "b"),
+        train.select("doc_id"))
+      val ng = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+        .where(size(col("ws")) >= 13)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("ws")) - 12),
+          i => concat_ws(" ", slice(col("ws"), i, lit(13))))).as("ng"))
+      val contaminated = ng.where(col("doc_id") % 5 =!= 0)
+        .join(broadcast(ng.where(col("doc_id") % 5 === 0).select("ng")), "ng")
+        .select("doc_id").distinct()
+      graft.dedup.Dedup.applyKeepList(train, clusters)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // SEQUENCE PACKING — concat-and-chunk: documents are concatenated in
     // id order within a source shard and split into fixed 512-token
     // training sequences; each doc reports the sequence span it lands in.
@@ -286,6 +316,42 @@ object TextQueries {
          SELECT a.doc_id, count(DISTINCT a.ng) AS n_contaminated, min(b.doc_id) AS eval_doc
          FROM ngd a JOIN ngd b ON a.ng = b.ng AND b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
          GROUP BY 1""",
+    // all three hygiene stages recomputed independently: exact-Jaccard
+    // pairs over TRAIN docs only, closed with the recursive reachability
+    // CTE, keepers = cluster minima, then the 13-gram decontamination
+    // relation anti-joined off the keepers
+    "q_d13_clean_corpus" ->
+      """WITH RECURSIVE sh AS (
+           SELECT DISTINCT doc_id, substring(text, g, 3) AS s
+           FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS g
+                 FROM documents WHERE length(text) >= 3 AND doc_id < 500 AND doc_id % 5 <> 0)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT a, b FROM inter
+                   JOIN sizes sa ON sa.doc_id = a
+                   JOIN sizes sb ON sb.doc_id = b
+                   WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7),
+         edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         reach(u, m) AS (
+           SELECT doc_id, doc_id FROM documents WHERE doc_id < 500 AND doc_id % 5 <> 0
+           UNION
+           SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u),
+         kept AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING min(m) = u),
+         ngd AS (
+           SELECT DISTINCT doc_id, array_to_string(list_slice(ws, g, g + 12), ' ') AS ng
+           FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 12)) AS g
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+                 WHERE len(ws) >= 13)),
+         contaminated AS (
+           SELECT DISTINCT a.doc_id FROM ngd a
+           JOIN ngd b ON a.ng = b.ng AND b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d
+         JOIN kept k ON d.doc_id = k.doc_id
+         LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+         WHERE c.doc_id IS NULL""",
     "q_mix_sample" ->
       """SELECT source, count(*) AS n_docs,
                 CAST(sum(CASE WHEN (doc_id * 48271) % 2147483647 % 100
