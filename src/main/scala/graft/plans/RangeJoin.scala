@@ -151,7 +151,13 @@ object IntervalIndex {
 /**
  * Physical broadcast range join. Children keep the logical (left, right)
  * order so `output` matches the logical join; `buildRight` says which child
- * is collected + broadcast.
+ * is broadcast. The build side arrives through a standard
+ * BroadcastExchangeExec (required BroadcastDistribution with
+ * IdentityBroadcastMode — the BroadcastNestedLoopJoin contract), so it gets
+ * exchange reuse, driver-memory accounting and the broadcast timeout for
+ * free; the interval tree is derived from the broadcast rows once per
+ * executor (memoized on the broadcast id — an O(m log m) build, not worth a
+ * custom BroadcastMode).
  */
 case class BroadcastRangeJoinExec(
     streamKey: Expression,
@@ -164,34 +170,52 @@ case class BroadcastRangeJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution
+      : Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] = {
+    import org.apache.spark.sql.catalyst.plans.physical._
+    if (buildRight) Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
+    else Seq(BroadcastDistribution(IdentityBroadcastMode), UnspecifiedDistribution)
+  }
+
+  /** Rows stay where the stream side put them (broadcast joins preserve the
+    * probe side's partitioning — lets downstream ops reuse it). */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    (if (buildRight) left else right).outputPartitioning
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
     copy(left = newLeft, right = newRight)
 
   protected override def doExecute(): RDD[InternalRow] = {
     val (streamed, build) = if (buildRight) (left, right) else (right, left)
-    val buildRows: Array[InternalRow] = build.executeCollect().map(_.copy())
+    val bc = build.executeBroadcast[Array[InternalRow]]()
     val loEval = BindReferences.bindReference(buildLo, build.output)
     val hiEval = BindReferences.bindReference(buildHi, build.output)
-    val lo = new Array[Double](buildRows.length)
-    val hi = new Array[Double](buildRows.length)
-    val valid = new Array[Boolean](buildRows.length)
-    var i = 0
-    while (i < buildRows.length) {
-      val l = loEval.eval(buildRows(i)); val h = hiEval.eval(buildRows(i))
-      valid(i) = l != null && h != null // NULL bounds satisfy no comparison
-      if (valid(i)) { lo(i) = l.asInstanceOf[Double]; hi(i) = h.asInstanceOf[Double] }
-      i += 1
-    }
-    val index = IntervalIndex.build(lo, hi, valid)
-    val bc = sparkContext.broadcast((buildRows, index))
     val keyExpr = BindReferences.bindReference(streamKey, streamed.output)
     val allAttrs = output
     val residualExpr = residual
     val isBuildRight = buildRight
+    val numOutputRows = longMetric("numOutputRows")
 
     streamed.execute().mapPartitionsWithIndex { (pidx, iter) =>
-      val (rows, idx) = bc.value
+      val rows = bc.value
+      val idx = BroadcastRangeJoinExec.treeFor(bc.id) {
+        val lo = new Array[Double](rows.length)
+        val hi = new Array[Double](rows.length)
+        val valid = new Array[Boolean](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          val l = loEval.eval(rows(i)); val h = hiEval.eval(rows(i))
+          valid(i) = l != null && h != null // NULL bounds satisfy no comparison
+          if (valid(i)) { lo(i) = l.asInstanceOf[Double]; hi(i) = h.asInstanceOf[Double] }
+          i += 1
+        }
+        Option(IntervalIndex.build(lo, hi, valid))
+      }.orNull
       val joined = new JoinedRow
       val resPred = residualExpr.map { e =>
         val p = Predicate.create(e, allAttrs)
@@ -212,10 +236,24 @@ case class BroadcastRangeJoinExec(
               if (isBuildRight) joined(srow, rows(bi)) else joined(rows(bi), srow)
             }
             .filter(r => resPred.forall(_.eval(r)))
-            .map(proj)
+            .map { r => numOutputRows += 1; proj(r) }
         }
       }
     }
+  }
+}
+
+object BroadcastRangeJoinExec {
+  /** Executor-side memo of the interval tree per broadcast id (the tree is
+    * derived state over the broadcast rows — built once per executor, not
+    * per task). Bounded: cleared wholesale if it ever accumulates many
+    * entries (a resident session replanning many distinct range joins). */
+  private val treeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Option[IntervalIndex]]()
+
+  private[plans] def treeFor(id: Long)(build: => Option[IntervalIndex]): Option[IntervalIndex] = {
+    if (treeCache.size > 64) treeCache.clear()
+    treeCache.computeIfAbsent(id, _ => build)
   }
 }
 

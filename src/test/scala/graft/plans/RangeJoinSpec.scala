@@ -75,6 +75,8 @@ class RangeJoinSpec extends AnyFunSuite {
     val plan = bboxJoin(spark).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastRangeJoin"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the build side arrives through a standard reusable broadcast exchange
+    assert(plan.contains("BroadcastExchange"), plan)
   }
 
   test("equi-joins and disabled sessions keep the stock planner") {
