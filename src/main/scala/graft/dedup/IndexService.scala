@@ -279,8 +279,14 @@ object IndexService {
     val idc = modality.idCol
     Files.createDirectories(Paths.get(stateDir, "labels"))
     recover(stateDir, modality)
-    migrateLegacy(stateDir, modality, labelRangeWidth)
     val idx = indexDir(stateDir)
+    // a compaction that crashed between its two renames (post-commit, so
+    // INFLIGHT is gone and recover() above won't see it) leaves no live
+    // table dir + a .old backup; roll it back BEFORE built() looks, or the
+    // missing dir reads as "first build" and the batch-only labeling would
+    // overwrite the standing labels
+    modality.tables.foreach(t => IndexFiles.recover(idx, t.sub))
+    migrateLegacy(stateDir, modality, labelRangeWidth)
     val lb = lbOf(labelRangeWidth) _
     drain(rows, idc, stateDir, batchSize) { (batch, head, _) =>
       val vdir = labelsDir(stateDir, head.version + 1)

@@ -200,10 +200,16 @@ case class BroadcastRangeJoinExec(
     val residualExpr = residual
     val isBuildRight = buildRight
     val numOutputRows = longMetric("numOutputRows")
+    // memo key: THIS plan node + THIS broadcast. The plan id disambiguates
+    // two range joins whose build sides share one reused BroadcastExchange
+    // but index different bound columns (same bc.id, different trees), and
+    // plan ids are JVM-monotonic so a restarted context reusing broadcast
+    // ids can never alias a stale entry.
+    val memoKey = (id, bc.id)
 
     streamed.execute().mapPartitionsWithIndex { (pidx, iter) =>
       val rows = bc.value
-      val idx = BroadcastRangeJoinExec.treeFor(bc.id) {
+      val idx = BroadcastRangeJoinExec.treeFor(memoKey) {
         val lo = new Array[Double](rows.length)
         val hi = new Array[Double](rows.length)
         val valid = new Array[Boolean](rows.length)
@@ -249,11 +255,12 @@ object BroadcastRangeJoinExec {
     * per task). Bounded: cleared wholesale if it ever accumulates many
     * entries (a resident session replanning many distinct range joins). */
   private val treeCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, Option[IntervalIndex]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Option[IntervalIndex]]()
 
-  private[plans] def treeFor(id: Long)(build: => Option[IntervalIndex]): Option[IntervalIndex] = {
+  private[plans] def treeFor(key: (Int, Long))(
+      build: => Option[IntervalIndex]): Option[IntervalIndex] = {
     if (treeCache.size > 64) treeCache.clear()
-    treeCache.computeIfAbsent(id, _ => build)
+    treeCache.computeIfAbsent(key, _ => build)
   }
 }
 
@@ -284,7 +291,7 @@ object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
   private def hasEquiConjunct(
       conjuncts: Seq[Expression], left: LogicalPlan, right: LogicalPlan): Boolean =
     conjuncts.exists {
-      case EqualTo(a, b) =>
+      case Equality(a, b) => // EqualTo or EqualNullSafe — both hash-joinable
         (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
           (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
       case _ => false

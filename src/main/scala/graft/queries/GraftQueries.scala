@@ -289,11 +289,22 @@ object GraftQueries {
     minhashPairsDumpImpl(s, d, MinhashProbePairsDumpPath,
       Some(LshProbeSplit + LshProbeBatch))
 
+  /** The cross-signal SERVICE oracle's text dump: same kernels, but over
+    * exactly the service's universe (the <500 slice) with the service's
+    * cap (uncapped) — the q_d8 probe-universe lesson applied to the
+    * service oracles, so their identity holds at EVERY sf (a whole-corpus
+    * capped dump only matches while the corpus fits inside the slice). */
+  val MinhashSvcPairsDumpPath = "/tmp/graft_oracle/minhash_svc_pairs.parquet"
+  private def minhashSvcPairsDump(s: SparkSession, d: String): Unit =
+    minhashPairsDumpImpl(s, d, MinhashSvcPairsDumpPath,
+      Some(500L), maxBucket = Int.MaxValue)
+
   private def minhashPairsDumpImpl(s: SparkSession, d: String, dumpPath: String,
-                                   maxDocId: Option[Long]): Unit = {
+                                   maxDocId: Option[Long],
+                                   maxBucket: Int = 256): Unit = {
     import s.implicits._
     sharedDump(s, dumpPath, d) { path =>
-      val threshold = 0.8; val numHashes = 64; val bands = 8; val maxBucket = 256
+      val threshold = 0.8; val numHashes = 64; val bands = 8
       val docs = graft.queries.Tables.documents(s, d).select("doc_id", "text")
         .as[(Long, String)].collect()
         .filter { case (id, _) => maxDocId.forall(id < _) }
@@ -326,12 +337,24 @@ object GraftQueries {
     * float→double arrays, smaller id as the left operand) so the doubles
     * are bitwise identical to the engine's. */
   val LshPairsDumpPath = "/tmp/graft_oracle/lsh_pairs.parquet"
-  private def lshPairsDump(s: SparkSession, d: String): Unit = {
+  private def lshPairsDump(s: SparkSession, d: String): Unit =
+    lshPairsDumpImpl(s, d, LshPairsDumpPath, None, maxBucket = 256)
+
+  /** The embedding SERVICE oracles' dump: the service's universe (vec_id <
+    * EmbSvcRows) and its cap (uncapped) — see MinhashSvcPairsDumpPath. */
+  val LshSvcPairsDumpPath = "/tmp/graft_oracle/lsh_svc_pairs.parquet"
+  private def lshSvcPairsDump(s: SparkSession, d: String): Unit =
+    lshPairsDumpImpl(s, d, LshSvcPairsDumpPath, Some(EmbSvcRows),
+      maxBucket = Int.MaxValue)
+
+  private def lshPairsDumpImpl(s: SparkSession, d: String, dumpPath: String,
+                               maxVecId: Option[Long], maxBucket: Int): Unit = {
     import s.implicits._
-    sharedDump(s, LshPairsDumpPath, d) { path =>
-      val threshold = 0.2; val nPlanes = 8; val maxBucket = 256
+    sharedDump(s, dumpPath, d) { path =>
+      val threshold = 0.2; val nPlanes = 8
       val vecs = embeddings(s, d).select("vec_id", "embedding")
         .as[(Long, Array[Float])].collect()
+        .filter { case (id, _) => maxVecId.forall(id < _) }
       val vOf = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
       def cosine(a: Array[Double], b: Array[Double]): Double = {
         var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -984,7 +1007,9 @@ object GraftQueries {
     // reachability CTE.
     "q_emb_svc_clusters" -> ((s, d) => {
       implicit val sp: SparkSession = s
-      lshPairsDump(s, d) // oracle side: same-kernel cosine pair dump
+      // oracle side: same-kernel cosine pair dump over the SERVICE's
+      // universe and cap, so the identity is scale-stable
+      lshSvcPairsDump(s, d)
       val state = embSvcStateDir(s, d)
       graft.ann.EmbService.labels(state)
     }),
@@ -998,8 +1023,9 @@ object GraftQueries {
     // transitively.
     "q_cross_svc_clusters" -> ((s, d) => {
       implicit val sp: SparkSession = s
-      minhashPairsDump(s, d) // oracle side: text signal dump
-      lshPairsDump(s, d) //     oracle side: embedding signal dump
+      // oracle side: both signal dumps over the SERVICE's universe/cap
+      minhashSvcPairsDump(s, d)
+      lshSvcPairsDump(s, d)
       val state = crossSvcStateDir(s, d)
       graft.dedup.CrossSignalService.labels(state)
         .select(col("id").as("doc_id"), col("cluster_id"))
@@ -1273,11 +1299,11 @@ object GraftQueries {
             SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u)
           SELECT u AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1""",
     // the embedding service's labels == transitive closure of the
-    // independent driver-side cosine pair dump (restricted to the service
-    // slice — a no-op at the verify scale where embeddings == 500)
+    // independent driver-side cosine pair dump computed over the SERVICE's
+    // own universe and cap (scale-stable identity — the q_d8 lesson)
     "q_emb_svc_clusters" ->
       s"""WITH RECURSIVE pairs AS (
-            SELECT a, b FROM read_parquet('$LshPairsDumpPath/*.parquet')
+            SELECT a, b FROM read_parquet('$LshSvcPairsDumpPath/*.parquet')
             WHERE a < $EmbSvcRows AND b < $EmbSvcRows),
           edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
           reach(u, m) AS (
@@ -1287,13 +1313,14 @@ object GraftQueries {
           SELECT CAST(u AS BIGINT) AS id, CAST(min(m) AS BIGINT) AS cluster_id
           FROM reach GROUP BY 1""",
     // the cross-signal service's labels == closure of the UNION of both
-    // independent same-kernel pair dumps (text MinHash + embedding cosine)
+    // independent same-kernel pair dumps (text MinHash + embedding cosine),
+    // each computed over the SERVICE's own universe and cap
     "q_cross_svc_clusters" ->
       s"""WITH RECURSIVE tpairs AS (
-            SELECT a, b FROM read_parquet('$MinhashPairsDumpPath/*.parquet')
+            SELECT a, b FROM read_parquet('$MinhashSvcPairsDumpPath/*.parquet')
             WHERE a < 500 AND b < 500),
           epairs AS (
-            SELECT a, b FROM read_parquet('$LshPairsDumpPath/*.parquet')
+            SELECT a, b FROM read_parquet('$LshSvcPairsDumpPath/*.parquet')
             WHERE a < 500 AND b < 500),
           pairs AS (SELECT a, b FROM tpairs UNION SELECT a, b FROM epairs),
           edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),

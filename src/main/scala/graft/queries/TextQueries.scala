@@ -54,6 +54,18 @@ object TextQueries {
     * update folds a batch into. Shared-dump'd like the other upstreams so
     * the query measures ONLY the O(batch) incremental step. */
   val IncrBaseLabelsDumpPath = "/tmp/graft_oracle/incr_base_labels.parquet"
+  /** One row per (doc, DISTINCT 13-word n-gram) — the decontamination
+    * relation's shared front end (q_t5 and q_d13 must agree on what
+    * "contaminated" means, so the n-gram definition lives once). */
+  private def ngrams13(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+      .where(size(col("ws")) >= 13)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 12),
+        i => concat_ws(" ", slice(col("ws"), i, lit(13))))).as("ng"))
+      .dropDuplicates("doc_id", "ng")
+
   private def incrBaseLabelsDump(s: SparkSession, d: String): DataFrame =
     GraftQueries.sharedDump(s, IncrBaseLabelsDumpPath, d) { path =>
       implicit val sp: SparkSession = s
@@ -184,13 +196,7 @@ object TextQueries {
     // join key would be xxhash64(ngram) to move 8 bytes instead of ~90,
     // kept as the raw string here for exact oracle comparability.
     "q_t5_decontam" -> ((s, d) => {
-      val ng = documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
-        .where(size(col("ws")) >= 13)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("ws")) - 12),
-          i => concat_ws(" ", slice(col("ws"), i, lit(13))))).as("ng"))
-        .dropDuplicates("doc_id", "ng")
+      val ng = ngrams13(s, d)
       ng.where(col("doc_id") % 5 =!= 0)
         .join(broadcast(ng.where(col("doc_id") % 5 === 0)
           .select(col("ng"), col("doc_id").as("eval_doc"))), "ng")
@@ -231,12 +237,7 @@ object TextQueries {
         jaccardPairsDump(s, d)
           .where(col("a") % 5 =!= 0 && col("b") % 5 =!= 0).select("a", "b"),
         train.select("doc_id"))
-      val ng = documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
-        .where(size(col("ws")) >= 13)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("ws")) - 12),
-          i => concat_ws(" ", slice(col("ws"), i, lit(13))))).as("ng"))
+      val ng = ngrams13(s, d)
       val contaminated = ng.where(col("doc_id") % 5 =!= 0)
         .join(broadcast(ng.where(col("doc_id") % 5 === 0).select("ng")), "ng")
         .select("doc_id").distinct()

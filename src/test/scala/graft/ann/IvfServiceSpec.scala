@@ -72,6 +72,32 @@ class IvfServiceSpec extends AnyFunSuite {
     } finally graft.stream.StreamDedup.deleteTree(state)
   }
 
+  test("compaction crash between its two renames rolls back on resume (no stranded corpus)") {
+    import spark.implicits._
+    val data = vecs(300)
+    val df = data.toDF("vec_id", "embedding")
+    val state = java.nio.file.Files.createTempDirectory("ivf-service-compact-crash").toString
+    try {
+      IvfService.run(df.where(col("vec_id") < 200), state, batchSize = 100, nLists = 8, iters = 2)
+      val idx = IvfService.indexDir(state)
+      // simulate Ann.compactIvf dying between its two renames: vectors
+      // gone, backup present, NLISTS intact — the append branch would
+      // otherwise write a fresh batch-only vectors table over it
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(idx, "vectors"),
+        java.nio.file.Paths.get(idx, "vectors.old"))
+      IvfService.run(df, state, batchSize = 100, nLists = 8, iters = 2)
+      val ids = spark.read.parquet(s"$idx/vectors").select("vec_id").as[Long].collect()
+      assert(ids.length === 300 && ids.toSet.size === 300,
+        s"stranded or duplicated vec_ids after compaction-crash recovery (${ids.length} rows)")
+      val q = data.head._2
+      val got = Ann.ivfTopKIndexed(idx, q, 10, nProbe = 8, excludeId = Some(0L))
+        .as[(Long, Double)].collect().map(_._1).toSeq
+      val want = Ann.bruteForceTopK(df, 0L, 10).as[(Long, Double)].collect().map(_._1).toSeq
+      assert(got === want)
+    } finally graft.stream.StreamDedup.deleteTree(state)
+  }
+
   test("a first batch smaller than nLists does not wedge later appends (NLISTS = actual count)") {
     import spark.implicits._
     val data = vecs(30)

@@ -55,6 +55,29 @@ class DedupServiceSpec extends AnyFunSuite {
     } finally graft.stream.StreamDedup.deleteTree(state)
   }
 
+  test("compaction crash between its two renames rolls back on resume (no first-build relapse)") {
+    val state = tmpState()
+    try {
+      val half = docs.where(col("doc_id") < 30)
+      DedupService.run(half, state, batchSize = 10,
+        threshold = 0.8, bands = 8, maxBucket = noCap)
+      assert(labelMap(DedupService.labels(state)) === batchModeLabels(half))
+      // simulate a compaction dying between move(live -> .old) and
+      // move(staged -> live): live table gone, backup present, INFLIGHT
+      // long deleted (compaction runs post-commit) — so built() would see
+      // a missing table and relapse into the first-build branch, wiping
+      // the standing labels, unless run() rolls the rename back first
+      val idx = IndexService.indexDir(state)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(idx, "bands"),
+        java.nio.file.Paths.get(idx, "bands.old"))
+      DedupService.run(docs, state, batchSize = 10,
+        threshold = 0.8, bands = 8, maxBucket = noCap)
+      // every standing id keeps its batch-mode label — nothing was wiped
+      assert(labelMap(DedupService.labels(state)) === batchModeLabels(docs))
+    } finally graft.stream.StreamDedup.deleteTree(state)
+  }
+
   test("incremental arrival: draining the tail equals one-shot batch mode") {
     val state = tmpState()
     try {

@@ -159,6 +159,41 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(pb.join(ib, pb("x") >= ib("lo") && pb("x") <= ib("hi")).count() === 1)
   }
 
+  test("two range joins sharing one reused broadcast index DIFFERENT bound columns") {
+    // regression: the executor-side tree memo must key on the plan node,
+    // not the broadcast id alone — ReuseExchange gives both joins the same
+    // broadcast, but one indexes (left, right) and the other (bottom, top)
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val boxes = Seq((1L, 10.0, 20.0, 100.0, 110.0), (2L, 15.0, 30.0, 200.0, 220.0))
+      .toDF("bid", "lft", "rgt", "bot", "top").cache()
+    val pts = (1 to 400).map(i => (i.toLong, i / 10.0, i * 5.0)).toDF("pid", "x", "y")
+    def byX = pts.join(boxes, pts("x") >= boxes("lft") && pts("x") <= boxes("rgt"))
+      .select(col("pid"), col("bid"), lit("x").as("dim"))
+    def byY = pts.join(boxes, pts("y") >= boxes("bot") && pts("y") <= boxes("top"))
+      .select(col("pid"), col("bid"), lit("y").as("dim"))
+    val u = byX.union(byY)
+    assert(u.queryExecution.executedPlan.toString.contains("BroadcastRangeJoin"))
+    val got = u.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = withDisabled(s) {
+      byX.union(byY).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    }
+    assert(got === want)
+    // both dimensions actually contributed rows (the bug collapses one onto
+    // the other's tree)
+    assert(got.exists(_._3 == "x") && got.exists(_._3 == "y"))
+  }
+
+  test("null-safe equi-conjunct joins are left to the hash-join planner") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val a = Seq((1L, 2.0), (2L, 3.0)).toDF("k", "x")
+    val b = Seq((1L, 1.0, 5.0)).toDF("k", "lo", "hi")
+    val nsafe = a.join(b, a("k") <=> b("k") && a("x") >= b("lo") && a("x") <= b("hi"))
+    assert(!nsafe.queryExecution.executedPlan.toString.contains("BroadcastRangeJoin"))
+    assert(nsafe.collect().length === 1)
+  }
+
   test("build side on the LEFT works too (reversed operands)") {
     implicit val s: SparkSession = spark
     import s.implicits._
