@@ -181,10 +181,14 @@ case class BroadcastRangeJoinExec(
     else Seq(BroadcastDistribution(IdentityBroadcastMode), UnspecifiedDistribution)
   }
 
-  /** Rows stay where the stream side put them (broadcast joins preserve the
-    * probe side's partitioning — lets downstream ops reuse it). */
+  /** Rows stay where (and in the order) the stream side put them —
+    * broadcast joins preserve the probe side's partitioning and ordering,
+    * letting downstream ops reuse both without re-exchanging. */
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     (if (buildRight) left else right).outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    (if (buildRight) left else right).outputOrdering
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =

@@ -67,6 +67,30 @@ class PlanQualitySpec extends AnyFunSuite {
       || plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("decontamination: the eval n-gram side is BROADCAST, training scan never shuffles to join") {
+    implicit val s: SparkSession = spark
+    val plan = physical(graft.queries.TextQueries.queries("q_t5_decontam")(s, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sequence packing: the window is per source shard, never a single global partition") {
+    implicit val s: SparkSession = spark
+    val plan = physical(graft.queries.TextQueries.queries("q_pack_sequences")(s, sf))
+    // a global ORDER BY window would plan hashpartitioning over NO keys /
+    // a SinglePartition exchange — the shard window partitions by source
+    assert(plan.contains("hashpartitioning(source"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("mixture sampling: narrow predicate + one aggregation exchange, no extra shuffle to sample") {
+    implicit val s: SparkSession = spark
+    val plan = physical(graft.queries.TextQueries.queries("q_mix_sample")(s, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, plan)
+  }
+
   test("fused z14: exactly two exchanges (partial (pixel,user), final pixel)") {
     implicit val s: SparkSession = spark
     import s.implicits._
