@@ -67,12 +67,10 @@ object IvfService {
     Files.createDirectories(Paths.get(stateDir))
     recover(stateDir)
     val idx = indexDir(stateDir)
-    // roll back a compaction that crashed between its two renames — it runs
-    // post-commit (INFLIGHT gone, recover() above won't see it) and leaves
-    // no live vectors dir + a .old backup while NLISTS still exists, so the
-    // append branch below would otherwise write a fresh batch-only vectors
-    // table and silently strand the standing corpus
-    graft.dedup.IndexFiles.recover(idx, "vectors")
+    // crashed-compaction rollback is owned by the Ann layer: appendIvf and
+    // ivfTopKIndexed both run IndexFiles.recover("vectors") first-thing, so
+    // a compaction that died between its two renames heals on the next
+    // append/probe (IvfServiceSpec pins the scenario end-to-end)
     // the shared cursor drain (ONE implementation of the commit protocol —
     // min/max guards, sparse jumps, INFLIGHT/HEAD bracket live in
     // IndexService.drain; only the per-batch index mutation is IVF's)

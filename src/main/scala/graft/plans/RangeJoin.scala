@@ -278,7 +278,11 @@ object BroadcastRangeJoinExec {
 object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Join(left, right, Inner, Some(cond), _) if enabled =>
+    // an explicit user join hint (broadcast, merge, shuffle_replicate_nl…)
+    // is the physical-plan escape hatch — honor it by standing aside, the
+    // same way built-in strategies branch on hints
+    case Join(left, right, Inner, Some(cond), hint)
+        if enabled && hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
       val conjuncts = splitConjunctivePredicates(cond)
       if (hasEquiConjunct(conjuncts, left, right)) Nil
       else {

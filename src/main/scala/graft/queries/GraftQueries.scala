@@ -297,7 +297,7 @@ object GraftQueries {
   val MinhashSvcPairsDumpPath = "/tmp/graft_oracle/minhash_svc_pairs.parquet"
   private def minhashSvcPairsDump(s: SparkSession, d: String): Unit =
     minhashPairsDumpImpl(s, d, MinhashSvcPairsDumpPath,
-      Some(500L), maxBucket = Int.MaxValue)
+      Some(TextQueries.DedupSliceRows), maxBucket = Int.MaxValue)
 
   private def minhashPairsDumpImpl(s: SparkSession, d: String, dumpPath: String,
                                    maxDocId: Option[Long],
@@ -1318,14 +1318,14 @@ object GraftQueries {
     "q_cross_svc_clusters" ->
       s"""WITH RECURSIVE tpairs AS (
             SELECT a, b FROM read_parquet('$MinhashSvcPairsDumpPath/*.parquet')
-            WHERE a < 500 AND b < 500),
+            WHERE a < ${TextQueries.DedupSliceRows} AND b < ${TextQueries.DedupSliceRows}),
           epairs AS (
             SELECT a, b FROM read_parquet('$LshSvcPairsDumpPath/*.parquet')
-            WHERE a < 500 AND b < 500),
+            WHERE a < ${TextQueries.DedupSliceRows} AND b < ${TextQueries.DedupSliceRows}),
           pairs AS (SELECT a, b FROM tpairs UNION SELECT a, b FROM epairs),
           edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
           reach(u, m) AS (
-            SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+            SELECT doc_id, doc_id FROM documents WHERE doc_id < ${TextQueries.DedupSliceRows}
             UNION
             SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u)
           SELECT u AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1""",

@@ -28,8 +28,13 @@ object TextQueries {
   val JaccardPairsDumpPath = "/tmp/graft_oracle/jaccard_pairs.parquet"
   val DedupClustersDumpPath = "/tmp/graft_oracle/dedup_clusters.parquet"
 
+  /** The fixed slice the dedup/cross-signal catalog queries and services
+    * run over (scale-independent bench cost; ONE knob — the service
+    * oracles' dump universes and SQL interpolate it). */
+  val DedupSliceRows = 500L
+
   private[queries] def dedupDocs(s: SparkSession, d: String): DataFrame =
-    documents(s, d).where(col("doc_id") < 500)
+    documents(s, d).where(col("doc_id") < DedupSliceRows)
 
   private[queries] def jaccardPairsDump(s: SparkSession, d: String): DataFrame =
     GraftQueries.sharedDump(s, JaccardPairsDumpPath, d) { path =>
@@ -191,10 +196,13 @@ object TextQueries {
     // dedup: any training document sharing a 13-word n-gram with the eval
     // set (here: doc_id % 5 == 0 plays the held-out benchmark) is flagged
     // with its distinct-overlap count (the GPT-3/Llama 13-gram rule). The
-    // eval side is BROADCAST — at 100 TB the benchmark suite is tiny vs
-    // the corpus, so the scan stays one-pass/narrow; at corpus scale the
-    // join key would be xxhash64(ngram) to move 8 bytes instead of ~90,
-    // kept as the raw string here for exact oracle comparability.
+    // broadcast hint encodes the operator's CONTRACT: the build side is a
+    // benchmark suite, bounded by construction (eval sets don't grow with
+    // the corpus) — the %5 slice only plays that role at test scale, and a
+    // caller decontaminating against a corpus-proportional relation should
+    // drop the hint and let the planner shuffle. At corpus scale the join
+    // key would be xxhash64(ngram) to move 8 bytes instead of ~90, kept
+    // as the raw string here for exact oracle comparability.
     "q_t5_decontam" -> ((s, d) => {
       val ng = ngrams13(s, d)
       ng.where(col("doc_id") % 5 =!= 0)
@@ -238,6 +246,7 @@ object TextQueries {
           .where(col("a") % 5 =!= 0 && col("b") % 5 =!= 0).select("a", "b"),
         train.select("doc_id"))
       val ng = ngrams13(s, d)
+      // broadcast = the bounded-benchmark contract (see q_t5's comment)
       val contaminated = ng.where(col("doc_id") % 5 =!= 0)
         .join(broadcast(ng.where(col("doc_id") % 5 === 0).select("ng")), "ng")
         .select("doc_id").distinct()

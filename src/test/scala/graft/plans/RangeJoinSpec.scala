@@ -184,6 +184,19 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.exists(_._3 == "x") && got.exists(_._3 == "y"))
   }
 
+  test("an explicit user join hint wins: the strategy stands aside") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val p = (1 to 200).map(i => (i.toLong, i / 10.0)).toDF("pid", "x")
+    val iv = Seq((1L, 5.0, 9.0)).toDF("iid", "lo", "hi")
+    val hinted = p.join(iv.hint("shuffle_replicate_nl"),
+      p("x") >= iv("lo") && p("x") <= iv("hi"))
+    assert(!hinted.queryExecution.executedPlan.toString.contains("BroadcastRangeJoin"),
+      hinted.queryExecution.executedPlan.toString)
+    val want = p.join(iv, p("x") >= iv("lo") && p("x") <= iv("hi")).count()
+    assert(hinted.count() === want)
+  }
+
   test("null-safe equi-conjunct joins are left to the hash-join planner") {
     implicit val s: SparkSession = spark
     import s.implicits._
