@@ -142,6 +142,27 @@ object RelationalQueries {
         .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rn"))
     }),
 
+    // BACKWARD AS-OF JOIN (graft.temporal.AsofJoin): odd events play
+    // trades, even events play quotes; each trade picks its user's latest
+    // quote at-or-before the trade's timestamp (ties → largest quote id),
+    // left-outer NULLs for trades before any quote. The engine runs the
+    // tagged-union + ONE-window composition (single key exchange, no join,
+    // any right-side size); DuckDB recomputes with the classic
+    // join + row_number form.
+    "q_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val trades = ev.where(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("trade_value"))
+      val quotes = ev.where(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("ts"), col("event_id").as("quote_id"),
+          col("value").as("quote_value"))
+      graft.temporal.AsofJoin.asof(trades, quotes, key = "user_id",
+          ts = "ts", rightId = "quote_id", payload = Seq("quote_value"))
+        .select(col("event_id"), col("user_id"), col("trade_value"),
+          col("quote_id"), col("quote_value"))
+    }),
+
     // G2 — tile localId arithmetic round trip (TileStatic.cs:9-25)
     "q_g2_localid" -> ((s, d) =>
       events(s, d)
@@ -285,6 +306,19 @@ object RelationalQueries {
            SELECT c_nationkey, c_custkey, c_acctbal,
                   row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
            FROM customer) WHERE rn <= 5""",
+    // the classic join + row_number spelling of the backward as-of pick —
+    // an INDEPENDENT formulation of the engine's union + window plan
+    "q_asof_join" ->
+      """WITH trades AS (SELECT event_id, user_id, ts, value AS trade_value
+                         FROM events WHERE event_id % 2 = 1),
+              quotes AS (SELECT event_id AS quote_id, user_id, ts, value AS quote_value
+                         FROM events WHERE event_id % 2 = 0)
+         SELECT event_id, user_id, trade_value, quote_id, quote_value FROM (
+           SELECT t.event_id, t.user_id, t.trade_value, q.quote_id, q.quote_value,
+                  row_number() OVER (PARTITION BY t.event_id
+                                     ORDER BY q.ts DESC, q.quote_id DESC) AS rn
+           FROM trades t LEFT JOIN quotes q ON q.user_id = t.user_id AND q.ts <= t.ts)
+         WHERE rn = 1""",
     "q_g2_localid" ->
       """SELECT CAST(sum((event_id*29 % 16384) * 16384 + (event_id*13 % 16384)) AS BIGINT) AS sum_ids,
                 count(*) AS n FROM events""",
