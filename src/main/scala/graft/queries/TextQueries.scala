@@ -28,9 +28,13 @@ object TextQueries {
   val JaccardPairsDumpPath = "/tmp/graft_oracle/jaccard_pairs.parquet"
   val DedupClustersDumpPath = "/tmp/graft_oracle/dedup_clusters.parquet"
 
-  /** The fixed slice the dedup/cross-signal catalog queries and services
-    * run over (scale-independent bench cost; ONE knob — the service
-    * oracles' dump universes and SQL interpolate it). */
+  /** The fixed 500-doc slice the dedup/cross-signal catalog queries and
+    * services run over (scale-independent bench cost). NOT a resize knob:
+    * the DuckDB oracle SQL strings pin `doc_id < 500` as literals by
+    * design (they mirror a fixed test universe) — this constant exists so
+    * the ENGINE side, the service-dump universes and the interpolating
+    * oracles stay in provable lock-step; changing the slice means also
+    * updating the literal oracles (grep `doc_id < 500`). */
   val DedupSliceRows = 500L
 
   private[queries] def dedupDocs(s: SparkSession, d: String): DataFrame =

@@ -30,18 +30,30 @@ object AsofJoin {
 
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
            rightId: String, payload: Seq[String]): DataFrame = {
+    // the tie-break contract needs a total integral order on rightId — a
+    // lossy cast would NULL it silently and make equal-ts picks arbitrary
+    right.schema(rightId).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+      case other => throw new IllegalArgumentException(
+        s"asof rightId '$rightId' must be an integral column (tie-break order), got $other")
+    }
     val leftCols = left.columns.toSeq
     val pickCols = rightId +: payload
+    val pSchema = right.select(pickCols.map(col): _*).schema
     val l = left.select(
       col(key).as("__k"), col(ts).as("__ts"), lit(1).as("__side"),
       lit(null).cast("long").as("__rid"),
-      struct(leftCols.map(col): _*).as("__l"), lit(null)
-        .cast(org.apache.spark.sql.types.StructType(
-          right.select(pickCols.map(col): _*).schema.fields)).as("__p"))
-    val r = right.select(
+      struct(leftCols.map(col): _*).as("__l"),
+      lit(null).cast(pSchema).as("__p"))
+    // join semantics: a NULL key or NULL ts on the right matches NOTHING
+    // (the window would otherwise group NULL keys together and nulls-first
+    // ordering would let a NULL-ts right row match everything); NULL-key/ts
+    // LEFT rows stay, with NULL payload, by the same exclusion
+    val r = right.where(col(key).isNotNull && col(ts).isNotNull).select(
       col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
       col(rightId).cast("long").as("__rid"),
-      lit(null).cast(left.select(leftCols.map(col): _*).schema).as("__l"),
+      lit(null).cast(left.schema).as("__l"),
       struct(pickCols.map(col): _*).as("__p"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"), col("__rid"))

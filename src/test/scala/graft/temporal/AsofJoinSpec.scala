@@ -48,6 +48,37 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("join"), plan)
   }
 
+  test("NULL keys and NULL timestamps follow join semantics: they match nothing") {
+    import spark.implicits._
+    val tDf = Seq(
+      (1L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(10L), 1.0),
+      (2L, java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long], 2.0),
+      (3L, java.lang.Long.valueOf(1L), java.lang.Long.valueOf(10L), 3.0))
+      .toDF("event_id", "user_id", "ts", "trade_value")
+    val qDf = Seq(
+      (1L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5L), 1.0), // NULL key: matches nothing
+      (2L, java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long], 2.0), // NULL ts: matches nothing
+      (3L, java.lang.Long.valueOf(1L), java.lang.Long.valueOf(5L), 3.0))
+      .toDF("quote_id", "user_id", "ts", "quote_value")
+    val got = AsofJoin.asof(tDf, qDf, "user_id", "ts", "quote_id", Seq("quote_value"))
+      .select("event_id", "quote_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // NULL-key left row: kept, NULL payload (a NULL-key quote never matches);
+    // NULL-ts left row: kept, NULL payload (q.ts <= NULL is never true);
+    // the normal row matches only the non-NULL quote
+    assert(got === Map(1L -> None, 2L -> None, 3L -> Some(3L)))
+  }
+
+  test("non-integral rightId fails loudly (tie-break needs a total order)") {
+    import spark.implicits._
+    val tDf = Seq((1L, 1L, 5L, 1.0)).toDF("event_id", "user_id", "ts", "trade_value")
+    val qDf = Seq(("a", 1L, 3L, 2.0)).toDF("quote_id", "user_id", "ts", "quote_value")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(tDf, qDf, "user_id", "ts", "quote_id", Seq("quote_value"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("equal timestamps match inclusively; larger quote_id wins the tie") {
     import spark.implicits._
     val tDf = Seq((10L, 1L, 100L, 0.0)).toDF("event_id", "user_id", "ts", "trade_value")
