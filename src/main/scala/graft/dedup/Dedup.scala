@@ -404,34 +404,52 @@ object Dedup {
     // burns minutes in BigInteger stats math. Fresh default stats at every
     // iteration boundary keep estimation O(plan), forever.
     val fresh = org.apache.spark.sql.graft.SparkInternals.freshLocalCheckpoint _
-    val edges = fresh(
+    // ONE checkpointed relation carries the bidirectional edge set AND the
+    // node universe as flagged self-loop rows (u, u, self=true): the
+    // per-round neighbor-min then needs a single join + aggregation — the
+    // min runs over neighbor labels and the node's own label together, and
+    // the PREVIOUS label falls out of the same aggregation as the self
+    // row's label (exactly one self row per group) — where the old round
+    // ran inner-join + aggregate + left-join-back (one join node and one
+    // labels exchange more per round, measured ~25 % of round cost at
+    // sf0.1 on the q_ann_lsh_clusters graph).
+    val edgesAll = fresh(
       pairs.select(col(pairs.columns(0)).as("u"), col(pairs.columns(1)).as("v"))
         .union(pairs.select(col(pairs.columns(1)).as("u"), col(pairs.columns(0)).as("v")))
-        .distinct())
-    var labels = fresh(
-      nodes.select(col(nodes.columns(0)).as("n"))
         .distinct()
-        .withColumn("lbl", col("n")))
+        .select(col("u"), col("v"), lit(false).as("self"))
+        .unionByName(
+          nodes.select(col(nodes.columns(0)).as("n")).distinct()
+            .select(col("n").as("u"), col("n").as("v"), lit(true).as("self"))))
+    // initial labels: every node labels itself. Checkpointed SEPARATELY
+    // (a cheap narrow scan of the edgesAll blocks) so the per-round
+    // releaseCheckpoint(labels) below can never free edgesAll's blocks.
+    var labels = fresh(edgesAll.where(col("self"))
+      .select(col("u").as("n"), col("u").as("lbl")))
     // precondition probe: edges (both directions) ⊆ nodes. One extra
     // left-anti join action before round 1 (the expected-empty case scans
     // the edge set once; limit-1 only short-circuits when orphans exist) —
     // deliberate: a silent one-way labeling is worse than one narrow join
     // over relations that are already checkpointed.
-    require(edges.join(labels, edges("u") === labels("n"), "left_anti").isEmpty,
+    require(edgesAll.where(!col("self"))
+        .join(labels, col("u") === labels("n"), "left_anti").isEmpty,
       "connectedComponents: pairs reference ids missing from nodes — " +
         "the id universe must cover every edge endpoint")
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // 1. neighbor min: the smallest label adjacent to each node
-      val nbrMin = edges.join(labels, edges("v") === labels("n"))
-        .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
+      // 1. neighbor min INCLUDING self, one join + one aggregation: the
+      //    self row contributes the node's own label (so `lbl` is the old
+      //    `least(own, nbrMin)` in one min) and is the only self=true row
+      //    of its group, so `old_lbl` is recovered from the same pass.
       // persisted: `stepped` feeds BOTH sides of the pointer-jump self-join
       // below — un-persisted, the edge join + aggregation ran twice per
       // round (the same repeated-subtree cost the index probes paid)
-      val stepped = labels.join(nbrMin, labels("n") === nbrMin("u"), "left")
-        .select(col("n"), col("lbl").as("old_lbl"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      val stepped = edgesAll.join(labels, col("v") === labels("n"))
+        .groupBy(col("u"))
+        .agg(min(col("lbl")).as("new_lbl"),
+          min(when(col("self"), col("lbl"))).as("old_lbl"))
+        .select(col("u").as("n"), col("old_lbl"), col("new_lbl").as("lbl"))
         .persist()
       // 2. pointer jump: follow each label to its own label (path halving).
       // The round's PREVIOUS label rides along so convergence is a narrow
@@ -452,7 +470,7 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
-    releaseCheckpoint(edges)
+    releaseCheckpoint(edgesAll)
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     labels.select(col("n").as("id"), col("lbl").as("cluster_id"))
   }
@@ -521,23 +539,30 @@ object Dedup {
   def incrementalDelta(labels: DataFrame, newPairs: DataFrame, newIds: DataFrame)(
       implicit spark: SparkSession): (DataFrame, DataFrame) = {
     val lbl = labels.select(col(labels.columns(0)).as("id"), col(labels.columns(1)).as("cluster_id"))
-    val batch = newIds.select(col(newIds.columns(0)).as("id")).distinct()
+    val batch = newIds.select(col(newIds.columns(0)).as("id")).distinct().persist()
     val pairs = newPairs.select(col(newPairs.columns(0)).as("a"), col(newPairs.columns(1)).as("b"))
     // 1. endpoint → representative (old: its cluster; batch: itself).
     //    Batch ids must NOT also appear in labels (probe-before-append
     //    discipline); an id in both would project ambiguously.
-    def repOf(c: String) = {
-      val keyed = pairs.select(col(c).as("id")).distinct()
-      keyed.join(lbl, Seq("id"), "left")
-        .select(col("id"), coalesce(col("cluster_id"), col("id")).as(s"${c}_rep"))
-    }
+    //    BOTH endpoint columns union into ONE distinct key set so the
+    //    (corpus-sized) label relation is joined ONCE, not once per side —
+    //    at scale the labels scan is the expensive leg of this step.
+    val reps = pairs.select(col("a").as("id")).union(pairs.select(col("b").as("id")))
+      .distinct()
+      .join(lbl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("rep"))
+      .persist()
     val projected = pairs
-      .join(repOf("a").withColumnRenamed("id", "a"), Seq("a"))
-      .join(repOf("b").withColumnRenamed("id", "b"), Seq("b"))
+      .join(reps.toDF("a", "a_rep"), Seq("a"))
+      .join(reps.toDF("b", "b_rep"), Seq("b"))
       .select(col("a_rep"), col("b_rep"))
       .where(col("a_rep") =!= col("b_rep"))
     // 2. CC over the representative graph. Node universe: batch ids +
     //    every rep the pairs touch (old cluster ids project to themselves).
+    //    `reps`/`batch` are persisted above: the projected subtree feeds
+    //    the CC edge union twice and the node universe twice — un-persisted
+    //    the endpoint→rep join against the label table re-ran four times
+    //    inside the CC setup materialization.
     val repNodes = batch.select(col("id"))
       .union(projected.select(col("a_rep").as("id")))
       .union(projected.select(col("b_rep").as("id")))
@@ -546,6 +571,9 @@ object Dedup {
       .select(col("id").as("rep"), col("cluster_id").as("new_cluster"))
     val newRows = batch.join(remap, batch("id") === remap("rep"), "left")
       .select(col("id"), coalesce(col("new_cluster"), col("id")).as("cluster_id"))
+    // remap is checkpoint-backed (eager) by now; newRows re-derives the
+    // cheap batch distinct lazily — nothing stays in the cache registry
+    reps.unpersist(); batch.unpersist()
     (remap, newRows)
   }
 
