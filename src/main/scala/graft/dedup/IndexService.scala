@@ -239,13 +239,24 @@ object IndexService {
       s"$idCol must be non-negative (id-range batching from 0)")
     require(maxId < Long.MaxValue - batchSize,
       s"$idCol $maxId too close to Long.MaxValue for batchSize $batchSize (cursor overflow)")
+    val globalMin = maxIdRow.getLong(1)
     while (head.cursor <= maxId) {
       // skip straight to the next existing id — sparse id spaces (holes,
       // snowflake-style ids) must cost one aggregation, not
-      // gap/batchSize empty-range iterations
-      val nextRow = rows.where(col(idCol) >= head.cursor).agg(min(col(idCol))).head()
-      if (nextRow.isNullAt(0)) return head
-      val start = nextRow.getLong(0)
+      // gap/batchSize empty-range iterations. The first iteration (and any
+      // resume at/below the source minimum) reuses the min already fetched
+      // by the opening max/min aggregation instead of re-scanning; every
+      // later iteration pays one source aggregation per batch — acceptable
+      // for file-backed slices, and a resident deployment over a large
+      // table should lay the source out id-partitioned so this probe (and
+      // the batch filter below) prune to a handful of partitions.
+      val start =
+        if (head.cursor <= globalMin) globalMin
+        else {
+          val nextRow = rows.where(col(idCol) >= head.cursor).agg(min(col(idCol))).head()
+          if (nextRow.isNullAt(0)) return head
+          nextRow.getLong(0)
+        }
       if (start > head.cursor) {
         // cursor jump over the hole: no version bump, no mutation
         writeAtomic(headFile(stateDir), s"${head.version} $start")

@@ -254,18 +254,32 @@ case class BroadcastRangeJoinExec(
 }
 
 object BroadcastRangeJoinExec {
+  private val MaxTrees = 64
+
   /** Executor-side memo of the interval tree per broadcast id (the tree is
     * derived state over the broadcast rows — built once per executor, not
-    * per task). Bounded: cleared wholesale if it ever accumulates many
-    * entries (a resident session replanning many distinct range joins). */
+    * per task). Bounded by per-entry LRU eviction (access-order
+    * LinkedHashMap): a resident session replanning more than MaxTrees
+    * distinct range joins evicts only the least-recently-used tree, never
+    * the ones live tasks are stabbing (the old wholesale clear() forced
+    * concurrent tasks to rebuild trees they were using, and
+    * clear()+computeIfAbsent could rebuild one key twice). The map lock
+    * also serializes the first build per key, so duplicate O(m log m)
+    * builds are impossible; a rebuild after eviction is idempotent. */
   private val treeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Option[IntervalIndex]]()
+    new java.util.LinkedHashMap[(Int, Long), Option[IntervalIndex]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Long), Option[IntervalIndex]]): Boolean =
+        size() > MaxTrees
+    }
 
   private[plans] def treeFor(key: (Int, Long))(
-      build: => Option[IntervalIndex]): Option[IntervalIndex] = {
-    if (treeCache.size > 64) treeCache.clear()
-    treeCache.computeIfAbsent(key, _ => build)
-  }
+      build: => Option[IntervalIndex]): Option[IntervalIndex] =
+    treeCache.synchronized {
+      val cur = treeCache.get(key)
+      if (cur != null) cur
+      else { val built = build; treeCache.put(key, built); built }
+    }
 }
 
 /**

@@ -63,9 +63,17 @@ object TextQueries {
     * update folds a batch into. Shared-dump'd like the other upstreams so
     * the query measures ONLY the O(batch) incremental step. */
   val IncrBaseLabelsDumpPath = "/tmp/graft_oracle/incr_base_labels.parquet"
-  /** One row per (doc, DISTINCT 13-word n-gram) — the decontamination
+  /** One row per (doc, 13-word n-gram) OCCURRENCE — the decontamination
     * relation's shared front end (q_t5 and q_d13 must agree on what
-    * "contaminated" means, so the n-gram definition lives once). */
+    * "contaminated" means, so the n-gram definition lives once). NOT
+    * de-duplicated here: the corpus side of the decontamination join flows
+    * straight into `count_distinct(ng)` / `distinct(doc_id)` aggregations
+    * that absorb duplicate occurrences anyway, so a corpus-wide
+    * (doc_id, ng) dedup exchange BEFORE the join is pure cost (r7: it was
+    * the widest shuffle of both queries — every n-gram string moved once
+    * just to be re-deduplicated downstream). The small EVAL side is
+    * de-duplicated at its use sites, where it bounds the broadcast and the
+    * join fan-out. */
   private def ngrams13(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
@@ -73,7 +81,6 @@ object TextQueries {
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("ws")) - 12),
         i => concat_ws(" ", slice(col("ws"), i, lit(13))))).as("ng"))
-      .dropDuplicates("doc_id", "ng")
 
   private def incrBaseLabelsDump(s: SparkSession, d: String): DataFrame =
     GraftQueries.sharedDump(s, IncrBaseLabelsDumpPath, d) { path =>
@@ -209,9 +216,12 @@ object TextQueries {
     // as the raw string here for exact oracle comparability.
     "q_t5_decontam" -> ((s, d) => {
       val ng = ngrams13(s, d)
+      // train side: raw occurrences (count_distinct/min absorb duplicates);
+      // eval side: (ng, eval_doc) de-duplicated — bounds the broadcast and
+      // the join fan-out, and is the only distinct the answer needs
       ng.where(col("doc_id") % 5 =!= 0)
         .join(broadcast(ng.where(col("doc_id") % 5 === 0)
-          .select(col("ng"), col("doc_id").as("eval_doc"))), "ng")
+          .select(col("ng"), col("doc_id").as("eval_doc")).distinct()), "ng")
         .groupBy(col("doc_id"))
         .agg(count_distinct(col("ng")).as("n_contaminated"),
           min(col("eval_doc")).as("eval_doc"))
@@ -250,9 +260,10 @@ object TextQueries {
           .where(col("a") % 5 =!= 0 && col("b") % 5 =!= 0).select("a", "b"),
         train.select("doc_id"))
       val ng = ngrams13(s, d)
-      // broadcast = the bounded-benchmark contract (see q_t5's comment)
+      // broadcast = the bounded-benchmark contract (see q_t5's comment);
+      // eval n-grams distinct'd so the semi-decision join cannot fan out
       val contaminated = ng.where(col("doc_id") % 5 =!= 0)
-        .join(broadcast(ng.where(col("doc_id") % 5 === 0).select("ng")), "ng")
+        .join(broadcast(ng.where(col("doc_id") % 5 === 0).select("ng").distinct()), "ng")
         .select("doc_id").distinct()
       graft.dedup.Dedup.applyKeepList(train, clusters)
         .join(contaminated, Seq("doc_id"), "left_anti")

@@ -136,12 +136,22 @@ object StreamDedup {
       case "text" => textNearDupStream(src, maxDist)(ss)
       case "emb" => embNearDupStream(src, maxDist)(ss)
     }
+    // fresh per-run checkpoint on the shuffle scratch volume (tmpfs when
+    // available): the state store + offset/commit logs fsync once per
+    // micro-batch per state partition, and the default temp location is
+    // the disk-backed java.io.tmpdir — a physical placement knob only
+    // (fresh dir per run, deleted after termination; results identical).
+    // A real deployment points this at its durable checkpoint store.
+    val ckpt = graft.spark.Sessions.scratchDir.getOrElse(
+      System.getProperty("java.io.tmpdir")) + s"/stream-ckpt-$queryName"
     val q = stream.writeStream
       .format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    deleteTree(ckpt)
     collapse(ss.table(queryName))
   }
 
