@@ -161,6 +161,13 @@ object Dedup {
   def refineJaccard(cand: DataFrame, shingles: DataFrame, threshold: Double)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // Two equi-joins on the endpoint columns, kept deliberately (r7 A/B):
+    // when the candidate set is small the planner broadcasts it into BOTH
+    // joins and the shingle payload never shuffles at all; the measured
+    // explode-join-regroup alternative (join the payload once on doc_id,
+    // reassemble per pair) forced a payload exchange and was ~40 % slower
+    // at sf0.1 — and no better at scale, since its pair-regroup exchange
+    // carries both arrays anyway.
     cand
       .join(shingles.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
       .join(shingles.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
@@ -394,6 +401,20 @@ object Dedup {
    * `minhashNearDups` / `jaccardJoin`.
    */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, maxRounds: Int = 25)(
+      implicit spark: SparkSession): DataFrame =
+    connectedComponentsImpl(pairs, nodes, maxRounds, checkNodeCover = true)
+
+  /** Internal variant for call sites where pairs ⊆ nodes holds BY
+    * CONSTRUCTION (the node universe is literally built as
+    * batch ∪ edge-endpoints, e.g. `incrementalDelta`'s representative
+    * graph) — the orphan-endpoint probe would scan a relation it can prove
+    * nothing about. Public callers keep the loud guard. */
+  private[dedup] def connectedComponentsCovered(pairs: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 25)(implicit spark: SparkSession): DataFrame =
+    connectedComponentsImpl(pairs, nodes, maxRounds, checkNodeCover = false)
+
+  private def connectedComponentsImpl(pairs: DataFrame, nodes: DataFrame,
+      maxRounds: Int, checkNodeCover: Boolean)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     // freshLocalCheckpoint, NOT bare localCheckpoint: Spark rewrites the
@@ -431,10 +452,11 @@ object Dedup {
     // the edge set once; limit-1 only short-circuits when orphans exist) —
     // deliberate: a silent one-way labeling is worse than one narrow join
     // over relations that are already checkpointed.
-    require(edgesAll.where(!col("self"))
-        .join(labels, col("u") === labels("n"), "left_anti").isEmpty,
-      "connectedComponents: pairs reference ids missing from nodes — " +
-        "the id universe must cover every edge endpoint")
+    if (checkNodeCover)
+      require(edgesAll.where(!col("self"))
+          .join(labels, col("u") === labels("n"), "left_anti").isEmpty,
+        "connectedComponents: pairs reference ids missing from nodes — " +
+          "the id universe must cover every edge endpoint")
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -567,7 +589,9 @@ object Dedup {
       .union(projected.select(col("a_rep").as("id")))
       .union(projected.select(col("b_rep").as("id")))
       .distinct()
-    val remap = connectedComponents(projected, repNodes)
+    // repNodes ⊇ every projected endpoint BY CONSTRUCTION (built from the
+    // very same relation) — the covered variant skips the orphan probe
+    val remap = connectedComponentsCovered(projected, repNodes)
       .select(col("id").as("rep"), col("cluster_id").as("new_cluster"))
     val newRows = batch.join(remap, batch("id") === remap("rep"), "left")
       .select(col("id"), coalesce(col("new_cluster"), col("id")).as("cluster_id"))

@@ -206,7 +206,15 @@ object SpatialJoins {
       var ring = 2
       var result: Option[DataFrame] = None
       while (result.isEmpty && ring <= maxRing) {
+        // materialize the ring's candidate top-k ONCE (eager checkpoint):
+        // the verification aggregate below AND the returned result both
+        // read the materialized rows — un-checkpointed, the caller's later
+        // action re-ran the whole candidate join + window a second time
+        // after `indexed` was already unpersisted (a full extra pass over
+        // the points table per invocation). Callers release via
+        // Dedup.releaseCheckpoint, the shared checkpoint-result contract.
         val cand = knnCellRing(indexed, queries, k, ring, zoom, preIndexed = true)
+          .localCheckpoint(true)
         // verification: per query, k candidates found and the k-th distance
         // is within the radius the ring provably covers
         val kth = cand.groupBy($"qid")
@@ -224,7 +232,10 @@ object SpatialJoins {
           }
         }
         if (covered) result = Some(cand.select($"qid", $"rn", $"pid"))
-        else ring *= 2
+        else {
+          graft.dedup.Dedup.releaseCheckpoint(cand) // failed ring: free its blocks now
+          ring *= 2
+        }
       }
       result.getOrElse(knnBruteForce(indexed, queries, k))
     } finally indexed.unpersist()

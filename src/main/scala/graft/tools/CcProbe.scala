@@ -28,22 +28,29 @@ object CcProbe {
       // q_ann_lsh_clusters inputs: engine pair dump + full embeddings ids
       val pairs = spark.read.parquet("/tmp/graft_oracle/ann_engine_pairs.parquet").select("a", "b")
       val nodes = graft.queries.Tables.embeddings(spark, sfDir).select("vec_id")
-      val edges = t(s"rep$rep edges checkpoint")(fresh(
+      // replay of the (r7) connectedComponents round shape: edge set +
+      // flagged self-loop node rows in ONE checkpointed relation; each
+      // round is one join + one aggregation + the pointer-jump self-join
+      val edgesAll = t(s"rep$rep edgesAll checkpoint")(fresh(
         pairs.select(col("a").as("u"), col("b").as("v"))
           .union(pairs.select(col("b").as("u"), col("a").as("v")))
-          .distinct()))
+          .distinct()
+          .select(col("u"), col("v"), lit(false).as("self"))
+          .unionByName(nodes.select(col(nodes.columns(0)).as("n")).distinct()
+            .select(col("n").as("u"), col("n").as("v"), lit(true).as("self")))))
       var labels = t(s"rep$rep labels checkpoint")(fresh(
-        nodes.select(col(nodes.columns(0)).as("n")).distinct().withColumn("lbl", col("n"))))
+        edgesAll.where(col("self")).select(col("u").as("n"), col("u").as("lbl"))))
       t(s"rep$rep precondition probe")(
-        require(edges.join(labels, edges("u") === labels("n"), "left_anti").isEmpty))
+        require(edgesAll.where(!col("self"))
+          .join(labels, col("u") === labels("n"), "left_anti").isEmpty))
       var round = 0
       var converged = false
       while (!converged && round < 25) {
-        val nbrMin = edges.join(labels, edges("v") === labels("n"))
-          .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
-        val stepped = labels.join(nbrMin, labels("n") === nbrMin("u"), "left")
-          .select(col("n"), col("lbl").as("old_lbl"),
-            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        val stepped = edgesAll.join(labels, col("v") === labels("n"))
+          .groupBy(col("u"))
+          .agg(min(col("lbl")).as("new_lbl"),
+            min(when(col("self"), col("lbl"))).as("old_lbl"))
+          .select(col("u").as("n"), col("old_lbl"), col("new_lbl").as("lbl"))
           .persist()
         val jumped = t(s"rep$rep round$round jump+checkpoint")(fresh(stepped.as("s")
           .join(stepped.select(col("n").as("ln"), col("lbl").as("llbl")).as("t"),
@@ -60,7 +67,7 @@ object CcProbe {
         println(s"[ccprobe] rep$rep round${round - 1} changed=$changed")
       }
       graft.dedup.Dedup.releaseCheckpoint(labels)
-      graft.dedup.Dedup.releaseCheckpoint(edges)
+      graft.dedup.Dedup.releaseCheckpoint(edgesAll)
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
