@@ -474,16 +474,22 @@ object Dedup {
         .select(col("u").as("n"), col("old_lbl"), col("new_lbl").as("lbl"))
         .persist()
       // 2. pointer jump: follow each label to its own label (path halving).
-      // The round's PREVIOUS label rides along so convergence is a narrow
-      // filter-count over the checkpointed result — not the two-sided
-      // join-with-old-labels it used to be (one fewer shuffle per round)
+      // The round's PREVIOUS label rides along and the convergence count is
+      // OBSERVED during the checkpoint materialization itself (the
+      // CollectMetrics node runs inside the localCheckpoint action;
+      // verified to fire, ~ms latency) — zero extra jobs per round where a
+      // separate filter-count job used to run.
+      val obs = org.apache.spark.sql.Observation()
       val jumped = fresh(stepped.as("s")
         .join(stepped.select(col("n").as("ln"), col("lbl").as("llbl")).as("t"),
           col("s.lbl") === col("t.ln"), "left")
         .select(col("s.n").as("n"), col("s.old_lbl").as("old_lbl"),
-          least(col("s.lbl"), coalesce(col("t.llbl"), col("s.lbl"))).as("lbl")))
+          least(col("s.lbl"), coalesce(col("t.llbl"), col("s.lbl"))).as("lbl"))
+        .observe(obs, coalesce(
+          sum(when(col("lbl") =!= col("old_lbl"), 1L).otherwise(0L)),
+          lit(0L)).as("changed")))
       stepped.unpersist()
-      val changed = jumped.where(col("lbl") =!= col("old_lbl")).count()
+      val changed = obs.get("changed").asInstanceOf[Long]
       // release the superseded round's checkpoint blocks NOW — a long-lived
       // session running many dedup jobs must not accumulate storage memory
       // waiting for driver GC (blocks are otherwise ContextCleaner-owned)
