@@ -50,9 +50,18 @@ object DedupService {
       * exactly that trust, once, and the guard takes over after). */
     override def adoptLegacyIndex(idxDir: String)(implicit s: SparkSession): Unit = {
       val params = java.nio.file.Paths.get(idxDir, "PARAMS")
-      if (built(idxDir) && !Files.exists(params))
+      if (built(idxDir) && !Files.exists(params)) {
+        // Adoption converts an unguarded legacy state into a PARAMS-certified
+        // one on trust — say so loudly, with the parameters being assumed, so
+        // a mismatched legacy index (built under different numHashes/bands)
+        // is diagnosable from the log if probes later lose recall.
+        println(s"[dedup-service] ADOPTING legacy LSH index at $idxDir without a " +
+          s"PARAMS record: ASSUMING numHashes=$numHashes bands=$bands " +
+          s"prefixBuckets=${LshIndex.PrefixBuckets} (the pre-PARAMS contract " +
+          "trusted the caller; verify these match the original build)")
         java.nio.file.Files.write(params,
           s"$numHashes $bands ${LshIndex.PrefixBuckets}".getBytes("UTF-8"))
+      }
     }
   }
 

@@ -384,14 +384,28 @@ object IndexService {
     if (!Files.exists(f)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).map { line =>
-        def grab(k: String): String = {
-          val i = line.indexOf(s""""$k": """) + k.length + 4
-          line.substring(i).takeWhile(c => c.isDigit || c == '-')
+      // commits.jsonl is append-only and NOT atomically written, so a crash
+      // mid-append can leave a truncated last line. Parse defensively: a
+      // line missing any key is dropped LOUDLY rather than read through a
+      // bogus offset (indexOf -1 + k.length + 4 points mid-line).
+      Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).flatMap { line =>
+        def grab(k: String): Option[String] = {
+          val at = line.indexOf(s""""$k": """)
+          if (at < 0) None
+          else Some(line.substring(at + k.length + 4).takeWhile(c => c.isDigit || c == '-'))
+            .filter(_.nonEmpty)
         }
-        (grab("version").toLong, grab("cursor").toLong,
-          grab("written_dirs").toInt, grab("carried_dirs").toInt,
-          grab("written_rows").toLong)
+        val parsed = for {
+          v <- grab("version").flatMap(_.toLongOption)
+          c <- grab("cursor").flatMap(_.toLongOption)
+          w <- grab("written_dirs").flatMap(_.toIntOption)
+          cd <- grab("carried_dirs").flatMap(_.toIntOption)
+          wr <- grab("written_rows").flatMap(_.toLongOption)
+        } yield (v, c, w, cd, wr)
+        if (parsed.isEmpty)
+          println(s"[index-service] dropping unparseable commits.jsonl line " +
+            s"(truncated crash remnant?): ${line.take(120)}")
+        parsed
       }
     }
   }

@@ -253,6 +253,18 @@ class DedupServiceSpec extends AnyFunSuite {
     } finally graft.stream.StreamDedup.deleteTree(state)
   }
 
+  test("commitStats drops a truncated commits.jsonl line instead of misparsing it") {
+    val state = tmpState()
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(state))
+      // one whole record + one crash-truncated remnant (append is not atomic)
+      java.nio.file.Files.write(java.nio.file.Paths.get(state, "commits.jsonl"),
+        ("""{"version": 1, "cursor": 16, "written_dirs": 1, "carried_dirs": 0, "written_rows": 16}""" +
+          "\n" + """{"version": 2, "cursor": 32, "written_d""").getBytes("UTF-8"))
+      assert(IndexService.commitStats(state) === Seq((1L, 16L, 1, 0, 16L)))
+    } finally graft.stream.StreamDedup.deleteTree(state)
+  }
+
   test("empty id ranges advance the cursor without a version bump") {
     val state = tmpState()
     try {
