@@ -86,16 +86,25 @@ trait ClusterModality {
  * filtered to the committed cursor and deletes the orphan labels version
  * (hardlinked files delete like any other — links are per-version).
  *
- * Deliberate read-side trade-off: the fold's endpoint→representative
- * lookup (`incrementalDelta` step 1) still SCANS the labels relation once
- * per batch — a two-column columnar scan with the (small) endpoint set
- * broadcast, no shuffle of the corpus side. Pruning it by id would need a
- * second, id-bucketed copy of the labels (doubling every commit's write);
- * the cluster-keyed layout was chosen because the WRITE path is the one
- * that must be dirty-sized (a scan parallelizes across executors; a
- * corpus-sized write per batch does not amortize). The dirty-bucket
- * REWRITE read, by contrast, is partition-pruned (plan-asserted in
- * DedupServiceSpec).
+ * O(dirty) FOLD READS — the round-6 layout accepted one corpus-sized
+ * labels scan per batch (the fold's endpoint→representative lookup);
+ * since round 7 a SECOND projection of the same relation,
+ * `labels_by_id/v<N>/ib=<B>` with ib = id / labelRangeWidth (the id-keyed
+ * dual of the cluster-keyed lb store), makes that lookup partition-pruned:
+ * an endpoint's label row lives exactly in ib(endpoint), so the fold reads
+ * only the endpoint set's ib buckets — O(batch pair endpoints) buckets,
+ * never the corpus. The projection commits with the same dirty-only +
+ * hardlink-carry scheme: a by-id row changes only when its row RELABELS
+ * (it is a member of a changed cluster — all such rows are found inside
+ * the lb store's dirty buckets, and their ids give the dirty ib set) or
+ * when it is a batch row (contiguous ids → O(1) buckets); every clean ib
+ * bucket hardlink-carries. Closure argument for exactness: a row outside
+ * the dirty ib buckets has an id no relabeled-or-new row has, hence its
+ * cluster is not in the remap, hence its (id, cluster_id) is unchanged —
+ * carrying it is the identity. The write cost is ~2× the (already
+ * dirty-sized) lb commit, the price round 6's scaladoc predicted for
+ * closing the read side; per-commit read/write metrics land in
+ * commits.jsonl (fold_read_rows, ib_written_dirs, ib_carried_dirs).
  */
 object IndexService {
 
@@ -112,6 +121,8 @@ object IndexService {
   private def commitsFile(stateDir: String) = Paths.get(stateDir, "commits.jsonl")
   private[dedup] def indexDir(stateDir: String) = Paths.get(stateDir, "index").toString
   private def labelsDir(stateDir: String, v: Long) = Paths.get(stateDir, "labels", s"v$v")
+  private[dedup] def labelsByIdDir(stateDir: String, v: Long) =
+    Paths.get(stateDir, "labels_by_id", s"v$v")
 
   def readHead(stateDir: String): Head = {
     val f = headFile(stateDir)
@@ -159,18 +170,21 @@ object IndexService {
           col(t.idCol) < head.cursor, t.partCol)
       }
       graft.stream.StreamDedup.deleteTree(labelsDir(stateDir, head.version + 1).toString)
+      graft.stream.StreamDedup.deleteTree(labelsByIdDir(stateDir, head.version + 1).toString)
       println(s"[index-service] recovered: excised uncommitted batch at cursor=$started")
     }
     Files.delete(inflight)
   }
 
-  /** Hardlink every parquet file of `prev`'s clean lb buckets into `next`.
-    * Returns the carried-directory count. */
-  private def carryClean(prev: Path, next: Path, dirtyLbs: Set[Long]): Int = {
+  /** Hardlink every parquet file of `prev`'s clean buckets (dirs named
+    * `<prefix><bucket>`, e.g. lb=3 / ib=3) into `next`. Returns the
+    * carried-directory count. */
+  private def carryClean(prev: Path, next: Path, dirty: Set[Long],
+                         prefix: String = "lb="): Int = {
     var carried = 0
     Option(prev.toFile.listFiles()).getOrElse(Array.empty).foreach { d =>
-      if (d.isDirectory && d.getName.startsWith("lb=") &&
-          !dirtyLbs.contains(d.getName.drop(3).toLong)) {
+      if (d.isDirectory && d.getName.startsWith(prefix) &&
+          !dirty.contains(d.getName.drop(prefix.length).toLong)) {
         val dst = next.resolve(d.getName)
         Files.createDirectories(dst)
         d.listFiles().foreach { f =>
@@ -183,10 +197,10 @@ object IndexService {
     carried
   }
 
-  private def writtenLbs(version: Path): Set[Long] =
+  private def writtenBuckets(version: Path, prefix: String = "lb="): Set[Long] =
     Option(version.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("lb="))
-      .map(_.getName.drop(3).toLong).toSet
+      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+      .map(_.getName.drop(prefix.length).toLong).toSet
 
   /** Migrate a state directory written by the pre-round-6 layout so the
     * scaladoc's "on-disk contract carries over" holds LITERALLY: (1) a
@@ -299,95 +313,182 @@ object IndexService {
     modality.tables.foreach(t => IndexFiles.recover(idx, t.sub))
     migrateLegacy(stateDir, modality, labelRangeWidth)
     val lb = lbOf(labelRangeWidth) _
+    val ib = lbOf(labelRangeWidth) _ // same range-bucket fn, keyed by id
+    backfillByIdProjection(stateDir, labelRangeWidth)
     drain(rows, idc, stateDir, batchSize) { (batch, head, _) =>
       val vdir = labelsDir(stateDir, head.version + 1)
-      val (writtenDirs, carriedDirs, writtenRows) =
-        if (!modality.built(idx)) {
-          // first non-empty batch: build the index, cluster internally,
-          // write the FULL labeling (every bucket is dirty by definition)
-          modality.build(batch, idx)
-          val pairs = modality.firstPairs(batch)
-          val full = Dedup.connectedComponents(pairs.select("a", "b"), batch.select(idc))
-          val obs = org.apache.spark.sql.Observation()
-          full.withColumn("lb", lb(col("cluster_id")))
-            .observe(obs, count(lit(1)).as("rows"))
-            .repartition(col("lb"))
-            .write.mode("overwrite").partitionBy("lb").parquet(vdir.toString)
-          Dedup.releaseCheckpoint(full)
-          Dedup.releaseCheckpoint(pairs)
-          (writtenLbs(vdir).size, 0, obs.get("rows").asInstanceOf[Long])
-        } else {
-          // probe BEFORE append (probe materializes eagerly); then fold
-          // the delta and rewrite ONLY the dirty label buckets
-          val pairs = modality.probe(idx, batch)
-          modality.append(batch, idx)
-          val prevLabels = spark.read.parquet(labelsDir(stateDir, head.version).toString)
-          val (remap, newRows) = Dedup.incrementalDelta(
-            prevLabels.select("id", "cluster_id"),
-            pairs.select("a", "b"), batch.select(idc))
-          // remap is CC output (checkpoint-backed, O(batch + touched));
-          // `changed` drops the untouched reps / self-labeled batch ids —
-          // only actual moves dirty old buckets
-          val changed = remap.where(col("rep") =!= col("new_cluster"))
-          val dirty: Set[Long] = changed.select(lb(col("rep")).as("l"))
-            .union(changed.select(lb(col("new_cluster")).as("l")))
-            .union(newRows.select(lb(col("cluster_id")).as("l")))
-            .distinct().as[Long].collect().toSet // bounded by O(batch + touched)
-          // partition-pruned read of the dirty buckets; apply the remap
-          // inside them; batch rows append into their (dirty) buckets
-          val dirtyOld = prevLabels
-            .where(col("lb").isin(dirty.toSeq.map(java.lang.Long.valueOf): _*))
-            .join(broadcast(changed), col("cluster_id") === col("rep"), "left")
-            .select(col("id"),
-              coalesce(col("new_cluster"), col("cluster_id")).as("cluster_id"))
-          val obs = org.apache.spark.sql.Observation()
-          dirtyOld.unionByName(newRows.select("id", "cluster_id"))
-            .withColumn("lb", lb(col("cluster_id")))
-            .observe(obs, count(lit(1)).as("rows"))
-            .repartition(col("lb"))
-            .write.mode("overwrite").partitionBy("lb").parquet(vdir.toString)
-          val written = writtenLbs(vdir)
-          require(written.subsetOf(dirty),
-            s"label rewrite emitted rows outside its dirty buckets (would " +
-              s"duplicate hardlink-carried data): ${(written -- dirty).take(5)}")
-          val carried = carryClean(labelsDir(stateDir, head.version), vdir, dirty)
-          Dedup.releaseCheckpoint(remap)
-          Dedup.releaseCheckpoint(pairs)
-          (written.size, carried, obs.get("rows").asInstanceOf[Long])
-        }
-      (writtenDirs, carriedDirs, writtenRows)
-    } { case (committed, (writtenDirs, carriedDirs, writtenRows)) =>
+      val ibVdir = labelsByIdDir(stateDir, head.version + 1)
+      if (!modality.built(idx)) {
+        // first non-empty batch: build the index, cluster internally,
+        // write the FULL labeling (every bucket is dirty by definition)
+        // into BOTH projections
+        modality.build(batch, idx)
+        val pairs = modality.firstPairs(batch)
+        val full = Dedup.connectedComponents(pairs.select("a", "b"), batch.select(idc))
+        val obs = org.apache.spark.sql.Observation()
+        full.withColumn("lb", lb(col("cluster_id")))
+          .observe(obs, count(lit(1)).as("rows"))
+          .repartition(col("lb"))
+          .write.mode("overwrite").partitionBy("lb").parquet(vdir.toString)
+        full.withColumn("ib", ib(col("id")))
+          .repartition(col("ib"))
+          .write.mode("overwrite").partitionBy("ib").parquet(ibVdir.toString)
+        Dedup.releaseCheckpoint(full)
+        Dedup.releaseCheckpoint(pairs)
+        CommitMetrics(writtenBuckets(vdir).size, 0,
+          obs.get("rows").asInstanceOf[Long],
+          writtenBuckets(ibVdir, "ib=").size, 0, 0L)
+      } else {
+        // probe BEFORE append (probe materializes eagerly); then fold
+        // the delta and rewrite ONLY the dirty label buckets
+        val pairs = modality.probe(idx, batch)
+        modality.append(batch, idx)
+        val prevLabels = spark.read.parquet(labelsDir(stateDir, head.version).toString)
+        val prevById = spark.read.parquet(labelsByIdDir(stateDir, head.version).toString)
+        // O(dirty) FOLD READ: the endpoint→representative lookup only needs
+        // label rows whose id is a pair endpoint, and such a row lives
+        // exactly in ib(endpoint) — prune the id-keyed projection to the
+        // endpoint set's buckets (one tiny aggregation over the eager probe
+        // result, footprint bounded by the pair count) instead of scanning
+        // the corpus-sized labels relation per batch
+        val endpointIbs: Seq[Long] = pairs.select(ib(col("a")).as("i"))
+          .union(pairs.select(ib(col("b")).as("i")))
+          .distinct().as[Long].collect().toSeq
+        val foldLabels = prevById
+          .where(col("ib").isin(endpointIbs.map(java.lang.Long.valueOf): _*))
+          .select("id", "cluster_id")
+        val foldReadRows = foldLabels.count() // metric: label rows the fold reads
+        val (remap, newRows) = Dedup.incrementalDelta(
+          foldLabels, pairs.select("a", "b"), batch.select(idc))
+        // remap is CC output (checkpoint-backed, O(batch + touched));
+        // `changed` drops the untouched reps / self-labeled batch ids —
+        // only actual moves dirty old buckets
+        val changed = remap.where(col("rep") =!= col("new_cluster"))
+        val dirty: Set[Long] = changed.select(lb(col("rep")).as("l"))
+          .union(changed.select(lb(col("new_cluster")).as("l")))
+          .union(newRows.select(lb(col("cluster_id")).as("l")))
+          .distinct().as[Long].collect().toSet // bounded by O(batch + touched)
+        // partition-pruned read of the dirty buckets; apply the remap
+        // inside them; batch rows append into their (dirty) buckets.
+        // The JOINED frame (old cluster_id + remap target) persists: it
+        // feeds the lb write AND the dirty-ib discovery below
+        val dirtyOldJoined = prevLabels
+          .where(col("lb").isin(dirty.toSeq.map(java.lang.Long.valueOf): _*))
+          .join(broadcast(changed), col("cluster_id") === col("rep"), "left")
+          .persist()
+        val dirtyOld = dirtyOldJoined
+          .select(col("id"),
+            coalesce(col("new_cluster"), col("cluster_id")).as("cluster_id"))
+        val obs = org.apache.spark.sql.Observation()
+        dirtyOld.unionByName(newRows.select("id", "cluster_id"))
+          .withColumn("lb", lb(col("cluster_id")))
+          .observe(obs, count(lit(1)).as("rows"))
+          .repartition(col("lb"))
+          .write.mode("overwrite").partitionBy("lb").parquet(vdir.toString)
+        val written = writtenBuckets(vdir)
+        require(written.subsetOf(dirty),
+          s"label rewrite emitted rows outside its dirty buckets (would " +
+            s"duplicate hardlink-carried data): ${(written -- dirty).take(5)}")
+        val carried = carryClean(labelsDir(stateDir, head.version), vdir, dirty)
+        // by-id projection commit: a by-id row changes only when it
+        // RELABELS (all such rows join a non-null remap target inside the
+        // lb store's dirty buckets — their ids give the dirty ib set) or
+        // is a batch row; rewrite exactly those buckets, carry the rest as
+        // hardlinks (closure argument in the class scaladoc)
+        val dirtyIb: Set[Long] = dirtyOldJoined
+          .where(col("new_cluster").isNotNull)
+          .select(ib(col("id")).as("i"))
+          .union(newRows.select(ib(col("id")).as("i")))
+          .distinct().as[Long].collect().toSet
+        val dirtyById = prevById
+          .where(col("ib").isin(dirtyIb.toSeq.map(java.lang.Long.valueOf): _*))
+          .join(broadcast(changed), col("cluster_id") === col("rep"), "left")
+          .select(col("id"),
+            coalesce(col("new_cluster"), col("cluster_id")).as("cluster_id"))
+        dirtyById.unionByName(newRows.select("id", "cluster_id"))
+          .withColumn("ib", ib(col("id")))
+          .repartition(col("ib"))
+          .write.mode("overwrite").partitionBy("ib").parquet(ibVdir.toString)
+        val ibWritten = writtenBuckets(ibVdir, "ib=")
+        require(ibWritten.subsetOf(dirtyIb),
+          s"by-id rewrite emitted rows outside its dirty buckets: " +
+            s"${(ibWritten -- dirtyIb).take(5)}")
+        val ibCarried = carryClean(labelsByIdDir(stateDir, head.version),
+          ibVdir, dirtyIb, "ib=")
+        dirtyOldJoined.unpersist()
+        Dedup.releaseCheckpoint(remap)
+        Dedup.releaseCheckpoint(pairs)
+        CommitMetrics(written.size, carried, obs.get("rows").asInstanceOf[Long],
+          ibWritten.size, ibCarried, foldReadRows)
+      }
+    } { case (committed, m) =>
       // metrics AFTER the commit (metadata only, not part of the commit)
       Files.write(commitsFile(stateDir),
         (s"""{"version": ${committed.version}, "cursor": ${committed.cursor}, """ +
-          s""""written_dirs": $writtenDirs, "carried_dirs": $carriedDirs, """ +
-          s""""written_rows": $writtenRows}""" + "\n").getBytes("UTF-8"),
+          s""""written_dirs": ${m.writtenDirs}, "carried_dirs": ${m.carriedDirs}, """ +
+          s""""written_rows": ${m.writtenRows}, """ +
+          s""""ib_written_dirs": ${m.ibWrittenDirs}, "ib_carried_dirs": ${m.ibCarriedDirs}, """ +
+          s""""fold_read_rows": ${m.foldReadRows}}""" + "\n").getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       // retention, after the commit (old versions are unreferenced).
       // Sweep EVERY version at-or-below the floor, not just one — a crash
       // between the commit and this delete must not strand a version
       val floor = committed.version - keepLabelVersions
-      Option(Paths.get(stateDir, "labels").toFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("v") &&
-          f.getName.drop(1).toLongOption.exists(_ <= floor))
-        .foreach(f => graft.stream.StreamDedup.deleteTree(f.getPath))
+      Seq("labels", "labels_by_id").foreach { root =>
+        Option(Paths.get(stateDir, root).toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("v") &&
+            f.getName.drop(1).toLongOption.exists(_ <= floor))
+          .foreach(f => graft.stream.StreamDedup.deleteTree(f.getPath))
+      }
       if (compactEvery > 0 && committed.version % compactEvery == 0)
         modality.compact(idx)
     }
   }
 
-  /** The per-commit metric records (version, cursor, written_dirs,
-    * carried_dirs, written_rows), oldest first — the evidence surface for
-    * the O(dirty) commit contract. */
-  def commitStats(stateDir: String): Seq[(Long, Long, Int, Int, Long)] = {
+  /** Per-commit write/read metrics threaded from the batch processor to
+    * the post-commit metadata append. */
+  private final case class CommitMetrics(writtenDirs: Int, carriedDirs: Int,
+      writtenRows: Long, ibWrittenDirs: Int, ibCarriedDirs: Int,
+      foldReadRows: Long)
+
+  /** One-time migration for states committed before the id-keyed
+    * projection existed: derive `labels_by_id/v<HEAD>` from the committed
+    * lb store. Crash-safe via build-into-hidden-dir + atomic rename (a
+    * half-built `.build_*` leftover is swept on the next start). No-op on
+    * fresh or already-projected state. */
+  private def backfillByIdProjection(stateDir: String, labelRangeWidth: Long)(
+      implicit spark: SparkSession): Unit = {
+    val head = readHead(stateDir)
+    val root = Paths.get(stateDir, "labels_by_id")
+    Option(root.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".build_"))
+      .foreach(f => graft.stream.StreamDedup.deleteTree(f.getPath))
+    if (head.version == 0L || Files.exists(labelsByIdDir(stateDir, head.version))) return
+    val tmp = root.resolve(s".build_v${head.version}")
+    labels(stateDir)
+      .withColumn("ib", lbOf(labelRangeWidth)(col("id")))
+      .repartition(col("ib"))
+      .write.mode("overwrite").partitionBy("ib").parquet(tmp.toString)
+    Files.move(tmp, labelsByIdDir(stateDir, head.version),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    println(s"[index-service] backfilled id-keyed labels projection v${head.version}")
+  }
+
+  /** One parsed commits.jsonl record; the ib/fold fields are -1 for lines
+    * written before the id-keyed projection existed. */
+  final case class CommitStat(version: Long, cursor: Long, writtenDirs: Int,
+      carriedDirs: Int, writtenRows: Long, ibWrittenDirs: Int,
+      ibCarriedDirs: Int, foldReadRows: Long)
+
+  /** Full per-commit metric records including the by-id projection's write
+    * counts and the fold's pruned read volume — the evidence surface for
+    * BOTH O(dirty) contracts (commit writes ∝ dirty, fold reads ∝ batch
+    * endpoints). */
+  def commitStatsV2(stateDir: String): Seq[CommitStat] = {
     val f = commitsFile(stateDir)
     if (!Files.exists(f)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      // commits.jsonl is append-only and NOT atomically written, so a crash
-      // mid-append can leave a truncated last line. Parse defensively: a
-      // line missing any key is dropped LOUDLY rather than read through a
-      // bogus offset (indexOf -1 + k.length + 4 points mid-line).
       Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).flatMap { line =>
         def grab(k: String): Option[String] = {
           val at = line.indexOf(s""""$k": """)
@@ -401,7 +502,10 @@ object IndexService {
           w <- grab("written_dirs").flatMap(_.toIntOption)
           cd <- grab("carried_dirs").flatMap(_.toIntOption)
           wr <- grab("written_rows").flatMap(_.toLongOption)
-        } yield (v, c, w, cd, wr)
+        } yield CommitStat(v, c, w, cd, wr,
+          grab("ib_written_dirs").flatMap(_.toIntOption).getOrElse(-1),
+          grab("ib_carried_dirs").flatMap(_.toIntOption).getOrElse(-1),
+          grab("fold_read_rows").flatMap(_.toLongOption).getOrElse(-1L))
         if (parsed.isEmpty)
           println(s"[index-service] dropping unparseable commits.jsonl line " +
             s"(truncated crash remnant?): ${line.take(120)}")
@@ -409,4 +513,12 @@ object IndexService {
       }
     }
   }
+
+  /** The per-commit metric records (version, cursor, written_dirs,
+    * carried_dirs, written_rows), oldest first — the evidence surface for
+    * the O(dirty) commit contract (see `commitStatsV2` for the by-id
+    * projection and fold-read fields). */
+  def commitStats(stateDir: String): Seq[(Long, Long, Int, Int, Long)] =
+    commitStatsV2(stateDir).map(s =>
+      (s.version, s.cursor, s.writtenDirs, s.carriedDirs, s.writtenRows))
 }

@@ -196,6 +196,36 @@ class DedupServiceSpec extends AnyFunSuite {
       // head equal batch mode (asserted above) AND every id labeled once
       assert(DedupService.labels(state).groupBy("id").count()
         .where(col("count") > 1).isEmpty, "duplicate label rows")
+      // --- the id-keyed projection's O(dirty) contracts (fold-read side) ---
+      val v2 = IndexService.commitStatsV2(state)
+      // batch 2 (no merges, probe returns no pairs): the fold READ zero
+      // label rows (endpoint set empty), wrote exactly the batch's own ib
+      // bucket and carried the clean one
+      assert(v2(1).foldReadRows === 0L,
+        s"pair-free batch read ${v2(1).foldReadRows} label rows — fold read not endpoint-pruned")
+      assert(v2(1).ibWrittenDirs === 1 && v2(1).ibCarriedDirs === 1,
+        s"no-merge batch by-id commit not dirty-sized: ${v2(1)}")
+      // batch 4 (planted pair 50~3): endpoints {3, 50} → the fold reads ONLY
+      // ib bucket 0 (16 rows), never the 48-row standing corpus
+      assert(v2(3).foldReadRows === 16L,
+        s"merge batch read ${v2(3).foldReadRows} label rows, expected the one endpoint bucket (16)")
+      // the merge relabels no old row (min(3,50)=3 keeps cluster 3), so the
+      // by-id rewrite is the batch bucket only; the other three carry
+      assert(v2(3).ibWrittenDirs === 1 && v2(3).ibCarriedDirs === 3,
+        s"merge batch by-id commit not dirty-sized: ${v2(3)}")
+      // by-id projection ≡ the lb store re-keyed, and its carried files are
+      // hardlinks like the lb store's
+      val head64 = DedupService.readHead(state)
+      val byId = spark.read.parquet(s"$state/labels_by_id/v${head64.version}")
+        .select("id", "cluster_id")
+      assert(labelMap(byId) === labelMap(DedupService.labels(state)),
+        "labels_by_id diverged from the lb store")
+      val ibCarriedFile = java.nio.file.Paths.get(
+          s"$state/labels_by_id/v${head64.version}", "ib=0")
+        .toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val ibNlink = java.nio.file.Files.getAttribute(ibCarriedFile.toPath, "unix:nlink")
+        .asInstanceOf[Number].intValue
+      assert(ibNlink >= 2, s"carried by-id file is a copy (nlink=$ibNlink), not a hardlink")
     } finally graft.stream.StreamDedup.deleteTree(state)
   }
 
@@ -250,6 +280,12 @@ class DedupServiceSpec extends AnyFunSuite {
       val vdir = new java.io.File(s"$state/labels/v${head.version}")
       assert(vdir.listFiles().exists(f => f.isDirectory && f.getName.startsWith("lb=")),
         "migrated labels version is not bucketed")
+      // the legacy state had no id-keyed projection: the resume backfilled
+      // it (and the tail batch's fold then read the pruned projection)
+      val byId = spark.read.parquet(s"$state/labels_by_id/v${head.version}")
+        .select("id", "cluster_id")
+      assert(labelMap(byId) === labelMap(DedupService.labels(state)),
+        "backfilled labels_by_id diverged from the lb store")
     } finally graft.stream.StreamDedup.deleteTree(state)
   }
 
