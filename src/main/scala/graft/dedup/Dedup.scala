@@ -33,14 +33,27 @@ object Dedup {
     mix64(h)
   }
 
+  /** The per-slot seeds `mix64(seed + k)` — hoisted out of the
+    * per-shingle loop (it was recomputed shingles × numHashes times; the
+    * signature arithmetic is unchanged bit for bit). Tiny (numHashes
+    * longs), rebuilt per signature call — still a ~2× cut of the mix64
+    * count, the dominant prep cost per document. */
+  private def seedMixes(numHashes: Int, seed: Long): Array[Long] = {
+    val m = new Array[Long](numHashes)
+    var k = 0
+    while (k < numHashes) { m(k) = mix64(seed + k); k += 1 }
+    m
+  }
+
   /** MinHash signature: min over shingles of mix64(hash ^ seed_k). */
   def minhash(sh: Set[String], numHashes: Int = 64, seed: Long = 42L): Array[Long] = {
+    val seedMix = seedMixes(numHashes, seed)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     sh.foreach { s =>
       val h0 = shingleHash(s)
       var k = 0
       while (k < numHashes) {
-        val hk = mix64(h0 ^ mix64(seed + k))
+        val hk = mix64(h0 ^ seedMix(k))
         if (hk < sig(k)) sig(k) = hk
         k += 1
       }
@@ -179,6 +192,33 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** Sorted distinct shingle-hash values of `text` — equals
+    * `shingles(text).map(shingleHash).toArray.sorted` exactly (equal
+    * n-grams hash equal, and BOTH forms collapse any hash collision
+    * between distinct n-grams into one value: the Set form via
+    * `Set[Long]`, this one via the in-place dedupe), computed without the
+    * per-position substring/Set allocations: one FNV pass per n-gram over
+    * the char array, sort, dedupe. This is the hot per-document kernel of
+    * every minhash prep stage (DedupSpec pins the equivalence on random
+    * strings). */
+  def shingleHashes(text: String, n: Int = 3): Array[Long] = {
+    if (text == null || text.length < n) return Array.emptyLongArray
+    val m = text.length - n + 1
+    val arr = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0xCBF29CE484222325L // FNV-1a over chars [i, i+n), as shingleHash
+      var j = i
+      while (j < i + n) { h ^= text.charAt(j); h *= 0x100000001B3L; j += 1 }
+      arr(i) = mix64(h)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 0; var r = 0
+    while (r < m) { if (w == 0 || arr(r) != arr(w - 1)) { arr(w) = arr(r); w += 1 }; r += 1 }
+    if (w == m) arr else java.util.Arrays.copyOf(arr, w)
+  }
+
   /** Per-document (doc_id, sorted shingle hashes, minhash signature) — the
     * narrow prep stage shared by `minhashNearDups` and the persisted LSH
     * index (`LshIndex`), so the shingle/signature definition cannot drift
@@ -187,18 +227,19 @@ object Dedup {
       implicit spark: SparkSession): Dataset[(Long, Array[Long], Array[Long])] = {
     import spark.implicits._
     docs.select("doc_id", "text").as[(Long, String)].map { case (id, text) =>
-      val sh = shingles(text).map(shingleHash).toArray.sorted
+      val sh = shingleHashes(text)
       (id, sh, minhashFromHashes(sh, numHashes))
     }
   }
 
   /** MinHash signature from pre-hashed shingles. */
   def minhashFromHashes(hashes: Array[Long], numHashes: Int = 64, seed: Long = 42L): Array[Long] = {
+    val seedMix = seedMixes(numHashes, seed)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     hashes.foreach { h0 =>
       var k = 0
       while (k < numHashes) {
-        val hk = mix64(h0 ^ mix64(seed + k))
+        val hk = mix64(h0 ^ seedMix(k))
         if (hk < sig(k)) sig(k) = hk
         k += 1
       }
@@ -434,19 +475,39 @@ object Dedup {
     // ran inner-join + aggregate + left-join-back (one join node and one
     // labels exchange more per round, measured ~25 % of round cost at
     // sf0.1 on the q_ann_lsh_clusters graph).
-    val edgesAll = fresh(
+    // Setup is ONE exchange: union both edge directions AND the self rows,
+    // hash-repartition by the per-round join key `v` (explicit partition
+    // count — AQE never coalesces a user-numbered repartition, and the
+    // count is the co-partitioning contract the loop relies on), then
+    // dedup in place — HashPartitioning(v) satisfies the (u, v, self)
+    // clustering the dedup aggregate needs (edge duplicates share v; node
+    // duplicates are their own v), so no second exchange, and it subsumes
+    // the two separate `distinct`s of the old shape. The checkpoint then
+    // DECLARES the v-partitioning (freshLocalCheckpointClusteredBy):
+    // every round's `edgesAll ⋈ labels ON v = n` finds the edge side
+    // already distributed — in the at-scale sort-merge regime that
+    // deletes one edge-sized exchange per round (the broadcast regime
+    // never paid it; DedupJobsSpec re-runs the loop with broadcast
+    // disabled so the declared layout is the one actually joined on).
+    val nShuffle = spark.sessionState.conf.numShufflePartitions
+    val edgesAll = org.apache.spark.sql.graft.SparkInternals.freshLocalCheckpointClusteredBy(
       pairs.select(col(pairs.columns(0)).as("u"), col(pairs.columns(1)).as("v"))
         .union(pairs.select(col(pairs.columns(1)).as("u"), col(pairs.columns(0)).as("v")))
-        .distinct()
         .select(col("u"), col("v"), lit(false).as("self"))
         .unionByName(
-          nodes.select(col(nodes.columns(0)).as("n")).distinct()
-            .select(col("n").as("u"), col("n").as("v"), lit(true).as("self"))))
+          nodes.select(col(nodes.columns(0)).as("n"))
+            .select(col("n").as("u"), col("n").as("v"), lit(true).as("self")))
+        .repartition(nShuffle, col("v"))
+        .dropDuplicates("u", "v", "self"),
+      key = "v")
     // initial labels: every node labels itself. Checkpointed SEPARATELY
     // (a cheap narrow scan of the edgesAll blocks) so the per-round
     // releaseCheckpoint(labels) below can never free edgesAll's blocks.
-    var labels = fresh(edgesAll.where(col("self"))
-      .select(col("u").as("n"), col("u").as("lbl")))
+    // self rows have u == v, so projecting from `v` keeps each row in its
+    // hash(v) partition — i.e. the result is physically clustered by `n`;
+    // declaring it spares round 1's labels-side exchange too
+    var labels = org.apache.spark.sql.graft.SparkInternals.freshLocalCheckpointClusteredBy(
+      edgesAll.where(col("self")).select(col("v").as("n"), col("v").as("lbl")), key = "n")
     // precondition probe: edges (both directions) ⊆ nodes. One extra
     // left-anti join action before round 1 (the expected-empty case scans
     // the edge set once; limit-1 only short-circuits when orphans exist) —

@@ -45,7 +45,14 @@ object SparkInternals {
     * RDD as a fresh `LogicalRDD` carrying the checkpoint's measured
     * storage size as its statistics (default leaf stats if the block
     * manager has no record, e.g. an empty relation's zero-byte entry —
-    * conservatively huge, never compounding). */
+    * conservatively huge, never compounding).
+    *
+    * (`Dataset.localCheckpoint` nominally preserves the executed plan's
+    * output partitioning in its `LogicalRDD`, but under AQE the
+    * `AdaptiveSparkPlanExec` node reports `UnknownPartitioning`, so the
+    * checkpoint records nothing — use `freshLocalCheckpointClusteredBy`
+    * when a checkpoint's physical distribution must survive for
+    * downstream exchange elision.) */
   def freshLocalCheckpoint(df: DataFrame): DataFrame = {
     val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val session = classic.sparkSession
@@ -55,6 +62,42 @@ object SparkInternals {
     val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(cp.schema)
     org.apache.spark.sql.classic.Dataset.ofRows(session,
       new LogicalRDD(attrs, rdd, UnknownPartitioning(0), Nil, false, None)(
+        session, stats, None))
+  }
+
+  /** `freshLocalCheckpoint` that DECLARES the checkpoint to be
+    * hash-distributed by `key` across exactly `numShufflePartitions`
+    * partitions. The CALLER certifies the physical layout: the input must
+    * be `repartition(numShufflePartitions, col(key))` followed only by
+    * row-location-preserving operators (filter, projection keeping `key`,
+    * aggregation whose grouping keys include `key` — anything
+    * `EnsureRequirements` plans without a new exchange). The declaration
+    * lets every downstream join/aggregation clustered on `key` skip
+    * re-exchanging the checkpoint — for an ITERATED consumer (the
+    * connected-components loop joins the same checkpointed edge relation
+    * every round) that is one edge-sized shuffle per round in the
+    * non-broadcast regime. A wrong certification would silently
+    * mis-join, hence the partition-count guard here and result-exactness
+    * specs at every call site (DedupJobsSpec runs the CC loop against
+    * union-find with broadcast disabled so the declared layout is the one
+    * actually joined on). */
+  def freshLocalCheckpointClusteredBy(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning => HP}
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val session = classic.sparkSession
+    val n = session.sessionState.conf.numShufflePartitions
+    val cp = classic.localCheckpoint(true)
+    val rdd = cp.queryExecution.toRdd
+    require(rdd.getNumPartitions == n,
+      s"clustered checkpoint: expected $n partitions (numShufflePartitions), got " +
+        s"${rdd.getNumPartitions} — the input must be repartition($n, col($key)) " +
+        "followed only by layout-preserving operators")
+    val stats = measuredBytes(session, rdd).map(b => Statistics(sizeInBytes = BigInt(b)))
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(cp.schema)
+    val keyAttr = attrs.find(_.name == key).getOrElse(
+      sys.error(s"clustered checkpoint: no column '$key' in ${cp.schema.fieldNames.mkString(", ")}"))
+    org.apache.spark.sql.classic.Dataset.ofRows(session,
+      new LogicalRDD(attrs, rdd, HP(Seq(keyAttr), n), Nil, false, None)(
         session, stats, None))
   }
 

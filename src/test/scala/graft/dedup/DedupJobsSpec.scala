@@ -142,6 +142,20 @@ class DedupJobsSpec extends AnyFunSuite {
         (0 until 99).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b"),
         (0 until 100).map(_.toLong).toDF("doc_id"), maxRounds = 1)
     }
+    // the non-broadcast (at-scale sort-merge) regime exercises the
+    // DECLARED edge partitioning (freshLocalCheckpointClusteredBy): the
+    // per-round edges ⋈ labels join then trusts the checkpoint's layout
+    // instead of re-exchanging it — a wrong declaration would silently
+    // mis-join, so this re-runs a case with broadcast disabled
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (n, edges) = cases.head
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"),
+          (0 until n).map(_.toLong).toDF("doc_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === unionFind(n, edges), "SMJ-regime CC diverged from union-find")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("dedup jobs own their cache lifetime: no persisted relation survives the call") {

@@ -110,4 +110,19 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.fingerprint(t) === Dedup.fingerprint(t))
     assert(Dedup.fingerprint("") === 0L)
   }
+
+  test("shingleHashes == shingles.map(shingleHash).sorted (the allocation-free fast path)") {
+    val rnd = new java.util.Random(7)
+    def randomText(len: Int): String = {
+      val alphabet = "ab cd" // tiny alphabet → plenty of repeated 3-grams to dedupe
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val cases = Seq("", "ab", "abc", "aaaa", "abcabcabc") ++
+      (1 to 50).map(_ => randomText(1 + rnd.nextInt(300)))
+    cases.foreach { t =>
+      val slow = Dedup.shingles(t).map(Dedup.shingleHash).toArray.sorted
+      assert(Dedup.shingleHashes(t).toSeq === slow.toSeq, s"text=${t.take(40)}")
+    }
+    assert(Dedup.shingleHashes(null).isEmpty)
+  }
 }

@@ -79,6 +79,46 @@ class SparkInternalsSpec extends AnyFunSuite {
     SparkInternals.releaseCheckpointBlocks(small)
   }
 
+  test("freshLocalCheckpointClusteredBy: declares the layout — a keyed join re-plans no exchange on the checkpoint side") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val n = spark.sessionState.conf.numShufflePartitions
+    // a hash-repartitioned relation checkpoints WITH its distribution
+    // (dedup keyed on a superset of the key is layout-preserving — the
+    // exact shape the connected-components edge setup certifies)…
+    val parted = SparkInternals.freshLocalCheckpointClusteredBy(
+      spark.range(0, 1000).select(col("id").as("v"), (col("id") % 7).as("payload"))
+        .repartition(n, col("v"))
+        .dropDuplicates("v", "payload"),
+      key = "v")
+    val declared = parted.queryExecution.logical.collect { case l: LogicalRDD => l.outputPartitioning }
+    assert(declared.nonEmpty)
+    declared.head match {
+      case hp: HashPartitioning =>
+        assert(hp.numPartitions === n)
+        assert(hp.references.map(_.name).toSeq === Seq("v"))
+      case other => fail(s"expected HashPartitioning, got $other")
+    }
+    // …so a join keyed on it exchanges ONLY the other side (the CC loop's
+    // per-round edges ⋈ labels in the non-broadcast regime)
+    val other = spark.range(0, 500).select(col("id").as("n"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = parted.join(other, col("v") === col("n"))
+      assert(joined.count() === 500) // and the join is CORRECT on the declared layout
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges === 1, s"expected only the non-checkpoint side to exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // plain freshLocalCheckpoint keeps the conservative Unknown declaration
+    val flat = SparkInternals.freshLocalCheckpoint(spark.range(10).toDF("id"))
+    val flatPart = flat.queryExecution.logical.collect { case l: LogicalRDD => l.outputPartitioning }
+    assert(flatPart.forall(!_.isInstanceOf[HashPartitioning]), s"got $flatPart")
+    SparkInternals.releaseCheckpointBlocks(parted)
+    SparkInternals.releaseCheckpointBlocks(flat)
+  }
+
   test("releaseCheckpointBlocks: unpersists blocks below the derived leaf RDD") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val cp = SparkInternals.freshLocalCheckpoint(spark.range(0, 1000).toDF("id"))
