@@ -512,10 +512,13 @@ object Dedup {
     // left-anti join action before round 1 (the expected-empty case scans
     // the edge set once; limit-1 only short-circuits when orphans exist) —
     // deliberate: a silent one-way labeling is worse than one narrow join
-    // over relations that are already checkpointed.
+    // over relations that are already checkpointed. Keyed on `v` (not `u`):
+    // the edge set is bidirectional, so the u- and v-endpoint sets are
+    // equal, and BOTH relations are declared hash-clustered on this key —
+    // the probe joins without moving either side.
     if (checkNodeCover)
       require(edgesAll.where(!col("self"))
-          .join(labels, col("u") === labels("n"), "left_anti").isEmpty,
+          .join(labels, col("v") === labels("n"), "left_anti").isEmpty,
         "connectedComponents: pairs reference ids missing from nodes — " +
           "the id universe must cover every edge endpoint")
     var round = 0
