@@ -475,47 +475,61 @@ object Dedup {
     // ran inner-join + aggregate + left-join-back (one join node and one
     // labels exchange more per round, measured ~25 % of round cost at
     // sf0.1 on the q_ann_lsh_clusters graph).
-    // Setup is ONE exchange: union both edge directions AND the self rows,
-    // hash-repartition by the per-round join key `v` (explicit partition
-    // count — AQE never coalesces a user-numbered repartition, and the
-    // count is the co-partitioning contract the loop relies on), then
-    // dedup in place — HashPartitioning(v) satisfies the (u, v, self)
-    // clustering the dedup aggregate needs (edge duplicates share v; node
-    // duplicates are their own v), so no second exchange, and it subsumes
-    // the two separate `distinct`s of the old shape. The checkpoint then
-    // DECLARES the v-partitioning (freshLocalCheckpointClusteredBy):
-    // every round's `edgesAll ⋈ labels ON v = n` finds the edge side
-    // already distributed — in the at-scale sort-merge regime that
-    // deletes one edge-sized exchange per round (the broadcast regime
-    // never paid it; DedupJobsSpec re-runs the loop with broadcast
-    // disabled so the declared layout is the one actually joined on).
-    val nShuffle = spark.sessionState.conf.numShufflePartitions
-    val edgesAll = org.apache.spark.sql.graft.SparkInternals.freshLocalCheckpointClusteredBy(
+    var edgesAll = fresh(
       pairs.select(col(pairs.columns(0)).as("u"), col(pairs.columns(1)).as("v"))
         .union(pairs.select(col(pairs.columns(1)).as("u"), col(pairs.columns(0)).as("v")))
+        .distinct()
         .select(col("u"), col("v"), lit(false).as("self"))
         .unionByName(
-          nodes.select(col(nodes.columns(0)).as("n"))
-            .select(col("n").as("u"), col("n").as("v"), lit(true).as("self")))
-        .repartition(nShuffle, col("v"))
-        .dropDuplicates("u", "v", "self"),
-      key = "v")
+          nodes.select(col(nodes.columns(0)).as("n")).distinct()
+            .select(col("n").as("u"), col("n").as("v"), lit(true).as("self"))))
     // initial labels: every node labels itself. Checkpointed SEPARATELY
     // (a cheap narrow scan of the edgesAll blocks) so the per-round
     // releaseCheckpoint(labels) below can never free edgesAll's blocks.
-    // self rows have u == v, so projecting from `v` keeps each row in its
-    // hash(v) partition — i.e. the result is physically clustered by `n`;
-    // declaring it spares round 1's labels-side exchange too
-    var labels = org.apache.spark.sql.graft.SparkInternals.freshLocalCheckpointClusteredBy(
-      edgesAll.where(col("self")).select(col("v").as("n"), col("v").as("lbl")), key = "n")
+    var labels = fresh(edgesAll.where(col("self"))
+      .select(col("u").as("n"), col("u").as("lbl")))
+    // SCALE-ADAPTIVE edge layout (guide §2): the per-round join
+    // `edgesAll ⋈ labels ON v = n` re-exchanges the EDGE side every round
+    // only when the labels side is too big to broadcast — exactly the
+    // 100 TB regime (billions of node labels never broadcast). Only then
+    // is it worth paying one extra edge exchange here to re-cluster the
+    // checkpoint by `v` and DECLARE the layout
+    // (freshLocalCheckpointClusteredBy — Spark's own checkpoint
+    // partitioning preservation is lost under AQE), after which the loop
+    // shuffles labels + join-output per round instead of edges + labels +
+    // join-output. Below the threshold the labels broadcast and the
+    // declared layout buys nothing, while its fixed partition count
+    // defeats AQE's small-partition coalescing — measured 1.68× SLOWER at
+    // sf0.1 (tools/CcLayoutAB, same-window interleaved A/B), so the
+    // decision is made from the MEASURED labels checkpoint size, not a
+    // constant tuned for either regime. DedupJobsSpec re-runs the loop
+    // with broadcast disabled so the clustered branch's declared layout
+    // is the one actually joined on.
+    val bcThreshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val labelsBytes = labels.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bcThreshold < 0 || labelsBytes > bcThreshold) {
+      val nShuffle = spark.sessionState.conf.numShufflePartitions
+      val clustered = org.apache.spark.sql.graft.SparkInternals
+        .freshLocalCheckpointClusteredBy(
+          edgesAll.repartition(nShuffle, col("v")), key = "v")
+      releaseCheckpoint(edgesAll)
+      releaseCheckpoint(labels)
+      edgesAll = clustered
+      // self rows have u == v, so projecting from `v` keeps each row in
+      // its hash(v) partition — physically clustered by `n`; declaring it
+      // spares round 1's labels-side exchange too
+      labels = org.apache.spark.sql.graft.SparkInternals.freshLocalCheckpointClusteredBy(
+        edgesAll.where(col("self")).select(col("v").as("n"), col("v").as("lbl")), key = "n")
+    }
     // precondition probe: edges (both directions) ⊆ nodes. One extra
     // left-anti join action before round 1 (the expected-empty case scans
     // the edge set once; limit-1 only short-circuits when orphans exist) —
     // deliberate: a silent one-way labeling is worse than one narrow join
     // over relations that are already checkpointed. Keyed on `v` (not `u`):
     // the edge set is bidirectional, so the u- and v-endpoint sets are
-    // equal, and BOTH relations are declared hash-clustered on this key —
-    // the probe joins without moving either side.
+    // equal — and in the clustered (non-broadcast) branch both relations
+    // are declared hash-clustered on this key, so the probe joins without
+    // moving either side.
     if (checkNodeCover)
       require(edgesAll.where(!col("self"))
           .join(labels, col("v") === labels("n"), "left_anti").isEmpty,

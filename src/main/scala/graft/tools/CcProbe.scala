@@ -28,24 +28,21 @@ object CcProbe {
       // q_ann_lsh_clusters inputs: engine pair dump + full embeddings ids
       val pairs = spark.read.parquet("/tmp/graft_oracle/ann_engine_pairs.parquet").select("a", "b")
       val nodes = graft.queries.Tables.embeddings(spark, sfDir).select("vec_id")
-      // replay of the (r7) connectedComponents round shape: edge set +
-      // flagged self-loop node rows in ONE checkpointed relation, built
-      // with one repartition(v) + in-place dedup and checkpointed WITH the
-      // declared v-layout (freshLocalCheckpointClusteredBy); each round is
+      // replay of the (r7) connectedComponents round shape in the
+      // broadcast regime (bench scale — the scale-adaptive layout
+      // decision keeps the AQE-coalesced checkpoint here; see
+      // tools/CcLayoutAB for the layout A/B): edge set + flagged
+      // self-loop node rows in ONE checkpointed relation; each round is
       // one join + one aggregation + the pointer-jump self-join
-      val clustered = org.apache.spark.sql.graft.SparkInternals.freshLocalCheckpointClusteredBy _
-      val nShuffle = spark.sessionState.conf.numShufflePartitions
-      val edgesAll = t(s"rep$rep edgesAll checkpoint")(clustered(
+      val edgesAll = t(s"rep$rep edgesAll checkpoint")(fresh(
         pairs.select(col("a").as("u"), col("b").as("v"))
           .union(pairs.select(col("b").as("u"), col("a").as("v")))
+          .distinct()
           .select(col("u"), col("v"), lit(false).as("self"))
-          .unionByName(nodes.select(col(nodes.columns(0)).as("n"))
-            .select(col("n").as("u"), col("n").as("v"), lit(true).as("self")))
-          .repartition(nShuffle, col("v"))
-          .dropDuplicates("u", "v", "self"),
-        "v"))
-      var labels = t(s"rep$rep labels checkpoint")(clustered(
-        edgesAll.where(col("self")).select(col("v").as("n"), col("v").as("lbl")), "n"))
+          .unionByName(nodes.select(col(nodes.columns(0)).as("n")).distinct()
+            .select(col("n").as("u"), col("n").as("v"), lit(true).as("self")))))
+      var labels = t(s"rep$rep labels checkpoint")(fresh(
+        edgesAll.where(col("self")).select(col("u").as("n"), col("u").as("lbl"))))
       t(s"rep$rep precondition probe")(
         require(edgesAll.where(!col("self"))
           .join(labels, col("v") === labels("n"), "left_anti").isEmpty))
