@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * (`autoBroadcastJoinThreshold = -1`, the at-scale sort-merge shape) under
   * both edge-relation layouts:
   *
-  *   before — the r6 setup: two `distinct`s, checkpoint declared
-  *            `UnknownPartitioning` → the join re-exchanges the edge side
-  *            EVERY round;
-  *   after  — the r7 setup: one repartition(n, v) + dedup, checkpoint
-  *            declared `HashPartitioning(v, n)`
+  *   before — the r6 setup: checkpoint declared `UnknownPartitioning` →
+  *            the join re-exchanges the edge side EVERY round;
+  *   after  — the r7 CLUSTERED branch (engaged by the scale-adaptive
+  *            layout decision exactly when the labels side exceeds the
+  *            broadcast threshold, i.e. when this sort-merge plan is the
+  *            real one): checkpoint declared `HashPartitioning(v, n)`
   *            (`freshLocalCheckpointClusteredBy`) → the edge side is never
   *            re-exchanged; only the (per-round changing) labels side moves.
   *
